@@ -1,0 +1,198 @@
+"""Typed config tree.
+
+Mirrors the reference flag inventory (reference: nerf_loc/configs/__init__.py:4-92)
+but as frozen dataclasses so configs are hashable and can participate in jit
+static arguments. YAML files override defaults via `load_config`.
+
+TPU-specific additions live under `StaticShapeConfig`: the reference uses
+dynamic shapes (variable support-point counts, variable match counts); XLA
+needs static bounds, so every dynamic axis of the reference becomes a padded
+buffer + mask with a capacity declared here.
+"""
+from __future__ import annotations
+
+import dataclasses
+from dataclasses import dataclass, field
+from typing import Any, Dict, List, Optional, Tuple
+
+
+@dataclass(frozen=True)
+class RenderConfig:
+    # reference: configs/__init__.py:54-62
+    N_samples: int = 64
+    N_importance: int = 0
+    N_rand: int = 1024
+    chunk: int = 2048
+    lindisp: bool = False
+    white_bkgd: bool = False
+    use_render_uncertainty: bool = True
+    render_feature: bool = True
+
+
+@dataclass(frozen=True)
+class MatchingConfig:
+    # reference: configs/__init__.py:72-78
+    keypoints_3d_sampling: str = "random"
+    keypoints_3d_sampling_max_keep: int = 100000
+    coarse_matching_depth_thresh: float = 2.0
+    coarse_num_3d_keypoints: int = 1024
+    fine_num_3d_keypoints: int = 1024
+    # TPU addition: static cap on the number of coarse 2D grid cells
+    # (Hc*Wc after ResizeAndCrop; 256/8 * 341/8 bounded by 2048).
+    max_kp2d: int = 2048
+    # static cap on fine-stage pairs (train: GT pairs, test: mutual-NN hits)
+    max_fine_pairs: int = 1024
+    fine_window_size: int = 7
+    thr: float = 0.2
+
+
+@dataclass(frozen=True)
+class StaticShapeConfig:
+    """Capacities for the padded/masked buffers that replace the reference's
+    dynamic shapes. All counts are per localization query."""
+    n_views: int = 10                 # support views held in the batch
+    image_h: int = 256
+    image_w: int = 256
+    # support neural points: every feature-stride pixel of every support view
+    # becomes a (possibly masked) neural point -> V * (H/s) * (W/s).
+    # Derived at model-build time; no independent knob needed.
+    n_rays_train: int = 1024          # == render.N_rand
+    pnp_hypotheses: int = 512         # RANSAC hypothesis count (vmapped)
+    pose_refine_rays: int = 512       # rays per refinement step (pose_optimizer.py:124)
+
+
+@dataclass(frozen=True)
+class Config:
+    # experiment / io (reference configs/__init__.py:5-11)
+    expname: str = ""
+    basedir: str = ""
+    datadir: str = ""
+    version: str = "default"
+    ckpt: str = ""
+    dataset_type: str = "video_7scenes"
+    scenes: Tuple[str, ...] = ()
+
+    # schedule (reference :13-16)
+    max_epochs: int = 50
+    lrate: float = 5e-4
+    lrate_decay_steps: int = 50000
+    lrate_decay_factor: float = 0.5
+
+    train_nerf: bool = True
+    train_pose: bool = True
+
+    # 2D backbone (reference :21-25)
+    backbone2d: str = "cotr"
+    backbone2d_fpn_dim: int = 192
+    backbone2d_use_fpn: bool = True
+    backbone2d_coarse_layer_name: str = "layer2"
+    backbone2d_fine_layer_name: str = "layer1"
+
+    # support images (reference :28-39)
+    support_image_selection: str = "retrieval"
+    n_views_train: int = 5
+    n_views_test: int = 10
+    image_core_set_size: int = 16
+    image_retrieval_method: str = "netvlad"
+    image_retrieval_method_train: str = "netvlad"
+    image_retrieval_method_test: str = "netvlad"
+    image_retrieval_interval_train: int = 1
+    image_retrieval_interval_test: int = 1
+    coreset_sampler: str = "FPS"
+
+    model_3d_hidden_dim: int = 128
+    use_scene_coord_memorization: bool = False
+
+    encode_appearance: bool = True
+    appearance_emb_dim: int = 128
+
+    simple_3d_model: bool = False
+
+    # positional embedding (reference :50-52)
+    multires: int = 10
+    multires_views: int = 4
+    i_embed: int = 0
+
+    render: RenderConfig = field(default_factory=RenderConfig)
+
+    # losses (reference :64-68)
+    use_depth_supervision: bool = False
+    coarse_loss_weight: float = 10000.0
+    fine_loss_weight: float = 10.0
+    render_loss_weight: float = 1.0
+    ref_depth_loss_weight: float = 0.1
+
+    keypoints_3d_source: str = "depth"
+    matcher_hidden_dim: int = 192
+    matching: MatchingConfig = field(default_factory=MatchingConfig)
+    fine_matching_loss_type: str = "l2_with_std"
+
+    ransac_thresh: float = 8.0
+    rotation_eval_thresh: float = 5.0
+    translation_eval_thresh: float = 0.05
+
+    # test time (reference :85-92)
+    cascade_matching: bool = False
+    optimize_pose: bool = False
+    test_time_color_jitter: bool = False
+    test_time_style_change: bool = False
+    test_render_interval: int = 50
+    vis_3d_box: bool = False
+    vis_rendering: bool = False
+    vis_trajectory: bool = False
+
+    shapes: StaticShapeConfig = field(default_factory=StaticShapeConfig)
+
+    # TPU execution knobs (no reference counterpart)
+    compute_dtype: str = "bfloat16"   # matmul/conv compute dtype
+    param_dtype: str = "float32"
+    mesh_data_axis: int = 1           # data-parallel width (queries per step)
+    mesh_ray_axis: int = 1            # ray-parallel width for rendering
+
+
+def _merge(obj: Any, overrides: Dict[str, Any]) -> Any:
+    """Recursively apply a nested dict onto a (frozen) dataclass tree."""
+    if not dataclasses.is_dataclass(obj):
+        return overrides
+    kwargs = {}
+    names = {f.name: f for f in dataclasses.fields(obj)}
+    for k, v in overrides.items():
+        if k not in names:
+            raise KeyError(f"unknown config key: {k!r}")
+        cur = getattr(obj, k)
+        if dataclasses.is_dataclass(cur) and isinstance(v, dict):
+            kwargs[k] = _merge(cur, v)
+        elif isinstance(cur, tuple) and isinstance(v, list):
+            kwargs[k] = tuple(v)
+        else:
+            kwargs[k] = v
+    return dataclasses.replace(obj, **kwargs)
+
+
+def get_cfg_defaults() -> Config:
+    return Config()
+
+
+def load_config(path: Optional[str] = None, overrides: Optional[Dict[str, Any]] = None) -> Config:
+    """Build a Config from defaults, an optional YAML file, and overrides.
+
+    Equivalent of the reference's get_cfg_defaults + merge_from_file
+    (reference: nerf_loc/configs/__init__.py:94-102).
+    """
+    cfg = Config()
+    if path is not None:
+        import yaml
+
+        with open(path) as f:
+            data = yaml.safe_load(f) or {}
+        cfg = _merge(cfg, data)
+    if overrides:
+        cfg = _merge(cfg, overrides)
+    return cfg
+
+
+def override_cfg_with_args(cfg: Config, args: Any) -> Config:
+    """Apply argparse namespace values onto matching top-level config keys."""
+    names = {f.name for f in dataclasses.fields(cfg)}
+    updates = {k: v for k, v in vars(args).items() if k in names and v is not None}
+    return dataclasses.replace(cfg, **updates)

@@ -1,0 +1,17 @@
+"""Test harness: run everything on a virtual 8-device CPU mesh.
+
+Mirrors SURVEY.md §4's implication: the reference has no test suite; we build
+one with multi-device coverage via XLA host-platform device simulation.
+Must set flags before jax initializes.
+"""
+import os
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = flags + " --xla_force_host_platform_device_count=8"
+os.environ.setdefault("JAX_ENABLE_X64", "0")
+
+import jax  # noqa: E402
+
+jax.config.update("jax_default_matmul_precision", "highest")

@@ -1,0 +1,104 @@
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from nerfloc_tpu.ops import bilinear_sample, bilinear_sample_views, knn, knn_gather
+
+
+def brute_knn(q, p, k, mask=None):
+    d = ((q[:, None, :] - p[None, :, :]) ** 2).sum(-1)
+    if mask is not None:
+        d = np.where(mask[None, :], d, np.inf)
+    idx = np.argsort(d, axis=1, kind="stable")[:, :k]
+    return np.take_along_axis(d, idx, axis=1), idx
+
+
+def test_knn_matches_bruteforce():
+    rng = np.random.default_rng(0)
+    q = rng.standard_normal((257, 3)).astype(np.float32)
+    p = rng.standard_normal((1003, 3)).astype(np.float32)
+    d, i = knn(jnp.asarray(q), jnp.asarray(p), K=8, tile=256)
+    bd, bi = brute_knn(q, p, 8)
+    np.testing.assert_allclose(np.asarray(d), bd, rtol=1e-3, atol=1e-4)
+    # indices can differ on ties; compare distances gathered at returned idx
+    dd = ((q[:, None, :] - p[np.asarray(i)]) ** 2).sum(-1)
+    np.testing.assert_allclose(dd, bd, rtol=1e-3, atol=1e-4)
+
+
+def test_knn_masked():
+    rng = np.random.default_rng(1)
+    q = rng.standard_normal((64, 3)).astype(np.float32)
+    p = rng.standard_normal((500, 3)).astype(np.float32)
+    mask = rng.uniform(size=500) > 0.5
+    d, i = knn(jnp.asarray(q), jnp.asarray(p), K=4, points_mask=jnp.asarray(mask), tile=128)
+    assert mask[np.asarray(i)].all()
+    bd, _ = brute_knn(q, p, 4, mask)
+    np.testing.assert_allclose(np.asarray(d), bd, rtol=1e-3, atol=1e-4)
+
+
+def test_knn_k1_and_gather():
+    rng = np.random.default_rng(2)
+    p = rng.standard_normal((100, 3)).astype(np.float32)
+    q = p[17:19] + 1e-5
+    d, i = knn(jnp.asarray(q), jnp.asarray(p), K=1)
+    assert list(np.asarray(i[:, 0])) == [17, 18]
+    feats = jnp.asarray(rng.standard_normal((100, 7)).astype(np.float32))
+    g = knn_gather(feats, i)
+    np.testing.assert_allclose(np.asarray(g[0, 0]), np.asarray(feats[17]))
+
+
+def test_knn_grad_flows():
+    rng = np.random.default_rng(3)
+    q = jnp.asarray(rng.standard_normal((16, 3)).astype(np.float32))
+    p = jnp.asarray(rng.standard_normal((64, 3)).astype(np.float32))
+
+    def loss(q):
+        d, _ = knn(q, p, K=2)
+        return d.sum()
+
+    g = jax.grad(loss)(q)
+    assert np.isfinite(np.asarray(g)).all()
+    assert np.abs(np.asarray(g)).sum() > 0
+
+
+def _torch_grid_sample(feat_hwc, uv, H, W, padding_mode):
+    import torch
+
+    f = torch.tensor(feat_hwc).permute(2, 0, 1)[None]  # 1,C,H,W
+    norm = np.stack([2 * uv[:, 0] / (W - 1) - 1, 2 * uv[:, 1] / (H - 1) - 1], -1)
+    grid = torch.tensor(norm, dtype=torch.float32)[None, :, None, :]  # 1,N,1,2
+    out = torch.nn.functional.grid_sample(
+        f, grid, align_corners=True, padding_mode=padding_mode
+    )
+    return out[0, :, :, 0].T.numpy()  # N,C
+
+
+def test_bilinear_matches_torch_border():
+    rng = np.random.default_rng(4)
+    H, W, C = 13, 17, 5
+    feat = rng.standard_normal((H, W, C)).astype(np.float32)
+    uv = np.stack(
+        [rng.uniform(-2, W + 1, 200), rng.uniform(-2, H + 1, 200)], -1
+    ).astype(np.float32)
+    ours = np.asarray(bilinear_sample(jnp.asarray(feat), jnp.asarray(uv)))
+    ref = _torch_grid_sample(feat, uv, H, W, "border")
+    np.testing.assert_allclose(ours, ref, rtol=1e-4, atol=1e-5)
+
+
+def test_bilinear_zeros_mode_outside():
+    feat = jnp.ones((4, 4, 2))
+    uv = jnp.array([[-1.0, 0.0], [1.5, 1.5], [5.0, 2.0]])
+    out = bilinear_sample(feat, uv, padding_mode="zeros")
+    np.testing.assert_allclose(np.asarray(out[0]), 0.0)
+    np.testing.assert_allclose(np.asarray(out[1]), 1.0)
+    np.testing.assert_allclose(np.asarray(out[2]), 0.0)
+
+
+def test_bilinear_views_vmap():
+    rng = np.random.default_rng(5)
+    feats = jnp.asarray(rng.standard_normal((3, 8, 8, 4)).astype(np.float32))
+    uv = jnp.asarray(rng.uniform(0, 7, size=(3, 10, 2)).astype(np.float32))
+    out = bilinear_sample_views(feats, uv)
+    assert out.shape == (3, 10, 4)
+    one = bilinear_sample(feats[1], uv[1])
+    np.testing.assert_allclose(np.asarray(out[1]), np.asarray(one), atol=1e-6)
