@@ -1,0 +1,99 @@
+"""Render-throughput benchmark (rays/sec/chip).
+
+Measures the conditional-NeRF volume-render path — the hot loop of the
+reference (conditional_nerf/model.py:472-600, chunked at 2048 rays with
+N_samples=64; wall-clock printed at nerf_pose_estimator.py:377-381) — on one
+chip, end to end under a single jit.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+vs_baseline is vs. BASELINE.md's reference estimate for the torch/GPU render
+path (~20k rays/s at chunk=2048 x 64 samples on an A100-class GPU; the repo
+publishes no number, so this anchor is the north-star's 10x target base).
+"""
+from __future__ import annotations
+
+import json
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+REFERENCE_RAYS_PER_SEC = 20_000.0  # torch render-path anchor (BASELINE.md)
+
+
+def main():
+    from nerfloc_tpu.configs import Config, MatchingConfig, RenderConfig
+    from nerfloc_tpu.data import device_batch, make_query_batch
+    from nerfloc_tpu.models.pose_estimator import NerfPoseEstimator
+
+    cfg = Config(
+        backbone2d_fpn_dim=192,
+        model_3d_hidden_dim=128,
+        matcher_hidden_dim=192,
+        render=RenderConfig(N_samples=64, N_rand=1024, chunk=2048),
+        matching=MatchingConfig(fine_num_3d_keypoints=1024),
+    )
+    model = NerfPoseEstimator(cfg)
+
+    H, W, V = 240, 320, 5
+    batch = {k: jnp.asarray(v) for k, v in
+             device_batch(make_query_batch(n_views=V, H=H, W=W, seed=0)).items()}
+    rng = jax.random.PRNGKey(0)
+    params = jax.jit(model.init)(rng, _shrink_init_batch(batch), rng)
+
+    n_rays = 4096
+
+    @jax.jit
+    def render_chk(params, batch, rays_o, rays_d):
+        out = model.apply(params, batch, rays_o, rays_d,
+                          method=model.render_image_rays)
+        return jnp.sum(out["rgb"]) + jnp.sum(out["depth"])
+
+    rngs = jax.random.split(rng, 2)
+    uv = jnp.stack([
+        jax.random.uniform(rngs[0], (n_rays,), minval=0, maxval=W - 1),
+        jax.random.uniform(rngs[1], (n_rays,), minval=0, maxval=H - 1),
+    ], axis=-1)
+    from nerfloc_tpu.geometry.cameras import rays_for_pixels
+    rays_o, rays_d = rays_for_pixels(uv, batch["K"], batch["pose"])
+
+    float(render_chk(params, batch, rays_o, rays_d))  # compile + warm
+
+    # NOTE: the remote-TPU (axon) transport's block_until_ready does not
+    # actually wait; a per-call scalar fetch is the only reliable fence.
+    iters = 5
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        float(render_chk(params, batch, rays_o, rays_d))
+    dt = time.perf_counter() - t0
+
+    rays_per_sec = n_rays * iters / dt
+    print(json.dumps({
+        "metric": "render_rays_per_sec_per_chip",
+        "value": round(rays_per_sec, 1),
+        "unit": "rays/s",
+        "vs_baseline": round(rays_per_sec / REFERENCE_RAYS_PER_SEC, 3),
+    }))
+
+
+def _shrink_init_batch(batch):
+    """init on a spatially smaller batch: param shapes are resolution-
+    independent (convs + MLPs), so initialize cheaply."""
+    import jax.numpy as jnp
+
+    small = {}
+    for k, v in batch.items():
+        small[k] = v
+    # keep >= 1024 coarse neural points (5 views x (128/8)^2 = 1280) so the
+    # keypoint top-k in the init trace stays valid
+    s = 128
+    small["image"] = batch["image"][:s, :s]
+    small["depth"] = batch["depth"][:s, :s]
+    small["topk_images"] = batch["topk_images"][:, :s, :s]
+    small["topk_depths"] = batch["topk_depths"][:, :s, :s]
+    return small
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,137 @@
+"""Training CLI.
+
+Rebuild of the reference trainer entry (reference: pl/train.py:1-124):
+config merge + arg overrides, dataset/dataloader construction, auto-resume
+from the latest checkpoint, optional warm-start from cfg.ckpt (shape-matched
+partial restore), epoch loop with periodic eval, metric-keyed checkpointing.
+
+TPU differences: the Lightning DDP launch (pl/train.py:100-117) becomes one
+SPMD program over a (data, ray) mesh; the eval all_gather becomes device->host
+array collection from the sharded eval step; logging is JSONL + stdout (no
+TensorBoard dependency).
+
+Usage:
+  python -m nerfloc_tpu.cli.train --config configs/7scenes_all.yaml \
+      [--datadir ...] [--basedir runs/] [--max_epochs N]
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import time
+from typing import Dict
+
+import jax
+import numpy as np
+
+
+def parse_args():
+    p = argparse.ArgumentParser()
+    p.add_argument("--config", type=str, default=None)
+    p.add_argument("--datadir", type=str, default=None)
+    p.add_argument("--basedir", type=str, default="runs")
+    p.add_argument("--expname", type=str, default=None)
+    p.add_argument("--version", type=str, default=None)
+    p.add_argument("--ckpt", type=str, default=None,
+                   help="warm-start checkpoint dir (partial restore)")
+    p.add_argument("--max_epochs", type=int, default=None)
+    p.add_argument("--lrate", type=float, default=None)
+    p.add_argument("--batch", type=int, default=None,
+                   help="global query batch == mesh data width")
+    p.add_argument("--eval_interval", type=int, default=1)
+    p.add_argument("--seed", type=int, default=0)
+    return p.parse_args()
+
+
+def main():
+    from ..configs import get_cfg_defaults, load_config, override_cfg_with_args
+    from ..data import build_dataset, device_batch, stack_batches
+    from ..models.pose_estimator import NerfPoseEstimator
+    from ..parallel.mesh import MeshSpec, make_mesh, shard_batch
+    from ..train import create_train_state, make_eval_step, make_train_step
+    from ..train.checkpoint import CheckpointManager, partial_restore
+    from ..utils.metrics import aggregate_per_scene
+
+    args = parse_args()
+    cfg = load_config(args.config)
+    cfg = override_cfg_with_args(cfg, args)
+
+    run_dir = os.path.join(args.basedir, cfg.expname or "default",
+                           cfg.version)
+    os.makedirs(run_dir, exist_ok=True)
+    log_path = os.path.join(run_dir, "log.jsonl")
+
+    n_dev = len(jax.devices())
+    batch_size = args.batch or n_dev
+    mesh = make_mesh(MeshSpec(data=min(batch_size, n_dev), ray=1))
+
+    train_ds = build_dataset(cfg, "train", mode="train")
+    test_ds = build_dataset(cfg, "test", mode="test")
+    scene_names = {i: n for i, n in enumerate(test_ds.scene_names())}
+
+    model = NerfPoseEstimator(cfg)
+    rng = jax.random.PRNGKey(args.seed)
+    init_item = device_batch(train_ds[0])
+    init_batch = {k: jax.numpy.asarray(v) for k, v in init_item.items()}
+    params = model.init(rng, init_batch, rng)
+
+    mgr = CheckpointManager(os.path.join(run_dir, "ckpts"))
+    with mesh:
+        state = create_train_state(params, cfg)
+        # auto-resume (reference pl/train.py:92-98)
+        latest = mgr.latest_step()
+        if latest is not None:
+            restored = mgr.restore(latest, template=state)
+            state = state.replace(step=restored["step"],
+                                  params=restored["params"],
+                                  opt_state=restored["opt_state"])
+            print(f"resumed from step {latest}")
+        elif args.ckpt:
+            restored = CheckpointManager(args.ckpt).restore()
+            if restored is not None:
+                state = state.replace(params=partial_restore(
+                    state.params, restored["params"]))
+                print(f"warm-started from {args.ckpt}")
+
+        train_step = make_train_step(model, cfg, mesh)
+        eval_step = make_eval_step(model, cfg, mesh)
+
+        steps_per_epoch = max(len(train_ds) // batch_size, 1)
+        order_rng = np.random.default_rng(args.seed)
+        for epoch in range(cfg.max_epochs):
+            train_ds.set_epoch(epoch)
+            order = order_rng.permutation(len(train_ds))
+            t0 = time.time()
+            for it in range(steps_per_epoch):
+                idxs = order[it * batch_size: (it + 1) * batch_size]
+                if len(idxs) < batch_size:
+                    break
+                items = [device_batch(train_ds[int(i)]) for i in idxs]
+                batch = shard_batch(stack_batches(items), mesh)
+                rng, step_rng = jax.random.split(rng)
+                state, metrics = train_step(state, batch, step_rng)
+                if it % 50 == 0:
+                    m = {k: float(v) for k, v in metrics.items()}
+                    m.update(epoch=epoch, it=it, step=int(state.step),
+                             sec_per_it=(time.time() - t0) / (it + 1))
+                    print(json.dumps(m))
+                    with open(log_path, "a") as f:
+                        f.write(json.dumps(m) + "\n")
+
+            if (epoch + 1) % args.eval_interval == 0:
+                from ..train.evaluate import eval_dataset
+
+                results = eval_dataset(test_ds, eval_step, state.params, mesh,
+                                       batch_size, rng, scene_names, cfg)
+                print(json.dumps({"epoch": epoch, "eval": results}))
+                with open(log_path, "a") as f:
+                    f.write(json.dumps({"epoch": epoch, "eval": results}) + "\n")
+                mgr.save(int(state.step), state,
+                         metrics={"pose_acc": results["avg"]["pose_acc"]})
+            else:
+                mgr.save(int(state.step), state)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,75 @@
+"""Dataset factory.
+
+Rebuild of build_dataset (reference: nerf_loc/datasets/__init__.py:15-52):
+`dataset_type` selects the family, per-scene stores are wrapped in a
+MultiSceneDataset. Dataset YAMLs live at configs/data/{name}.yaml with the
+reference's declaration surface (base_dir, scene list, TRANSFORM /
+AUG_TRANSFORM pipelines, near/far/scale overrides).
+"""
+from __future__ import annotations
+
+import os
+from typing import Any, Dict, List, Optional
+
+from ..configs import Config
+from .scene_store import SceneStore
+from .transforms import build_transforms
+from .video_dataset import DataOptions, MultiSceneDataset, VideoDataset
+
+_CONFIG_DIR = os.path.join(os.path.dirname(os.path.dirname(__file__)),
+                           "configs", "data")
+
+
+def load_data_yaml(dataset_type: str) -> Dict[str, Any]:
+    import yaml
+
+    if dataset_type.endswith((".yaml", ".yml")) and os.path.exists(dataset_type):
+        path = dataset_type  # direct-path dataset declaration
+    else:
+        path = os.path.join(_CONFIG_DIR, f"{dataset_type}.yaml")
+    if not os.path.exists(path):
+        return {}
+    with open(path) as f:
+        return yaml.safe_load(f) or {}
+
+
+def build_dataset(cfg: Config, split: str, mode: Optional[str] = None,
+                  data_cfg: Optional[Dict[str, Any]] = None) -> MultiSceneDataset:
+    """split: 'train' | 'test'; mode defaults to split."""
+    mode = mode or ("train" if split == "train" else "test")
+    dc = dict(load_data_yaml(cfg.dataset_type))
+    if data_cfg:
+        dc.update(data_cfg)
+
+    base_dir = cfg.datadir or dc.get("base_dir", "")
+    scenes: List[str] = list(cfg.scenes) or list(dc.get("scenes", []))
+    if not scenes:
+        raise ValueError("no scenes configured (cfg.scenes or data yaml)")
+
+    transforms = build_transforms(dc.get("TRANSFORM", []))
+    aug_transforms = build_transforms(dc.get("AUG_TRANSFORM", []))
+
+    n_views = cfg.n_views_train if mode == "train" else cfg.n_views_test
+    opts = DataOptions(
+        n_views=n_views,
+        support_image_selection=cfg.support_image_selection,
+        image_core_set_size=cfg.image_core_set_size,
+        coreset_sampler=cfg.coreset_sampler,
+        max_points=cfg.matching.keypoints_3d_sampling_max_keep,
+        aug_ref_depth=bool(dc.get("aug_ref_depth", False)),
+    )
+
+    datasets = []
+    for scene in scenes:
+        store = SceneStore.load(
+            base_dir, scene,
+            retrieval_method_train=cfg.image_retrieval_method_train,
+            retrieval_method_test=cfg.image_retrieval_method_test,
+            near=dc.get("near"), far=dc.get("far"),
+            scale_factor=dc.get("scale_factor"),
+            rescale_far_limit=dc.get("rescale_far_limit"),
+            tempo_interval=int(dc.get("tempo_interval", 1)),
+        )
+        datasets.append(VideoDataset(store, split, transforms, aug_transforms,
+                                     opts, mode))
+    return MultiSceneDataset(datasets)

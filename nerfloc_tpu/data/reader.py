@@ -1,0 +1,96 @@
+"""Frame IO: RGB images + depth maps.
+
+Rebuild of the reference reader (reference: nerf_loc/datasets/video/
+reader.py:260-308): 16-bit depth PNGs are millimetres (65535 = invalid),
+COLMAP `.geometric.bin` arrays are metres, depth is nearest-resized to the
+RGB resolution, and sub-millimetre values are zeroed.
+"""
+from __future__ import annotations
+
+import os
+from typing import Dict, Tuple
+
+import numpy as np
+
+try:
+    import cv2
+    _HAS_CV2 = True
+except ImportError:  # pragma: no cover
+    _HAS_CV2 = False
+    from PIL import Image
+
+
+def read_colmap_array(path: str) -> np.ndarray:
+    """COLMAP dense array format (width&height&channels& header + f32 data),
+    equivalent of the reference's read_array (reader.py:173-189)."""
+    with open(path, "rb") as f:
+        header = b""
+        count = 0
+        while count < 3:
+            c = f.read(1)
+            header += c
+            if c == b"&":
+                count += 1
+        w, h, c = (int(x) for x in header[:-1].decode("ascii").split("&"))
+        data = np.fromfile(f, dtype=np.float32, count=w * h * c)
+    return data.reshape(h, w, c).squeeze()
+
+
+def load_image(path: str) -> np.ndarray:
+    """RGB uint8 [H, W, 3]."""
+    if _HAS_CV2:
+        img = cv2.imread(path, cv2.IMREAD_COLOR)
+        if img is None:
+            raise FileNotFoundError(path)
+        return cv2.cvtColor(img, cv2.COLOR_BGR2RGB)
+    return np.asarray(Image.open(path).convert("RGB"))
+
+
+def load_depth(path: str) -> np.ndarray:
+    """Depth in metres, float32; invalid pixels = 0."""
+    if path.endswith(".geometric.bin"):
+        depth = read_colmap_array(path).astype(np.float32)
+    elif path.endswith(".npy"):
+        depth = np.load(path).astype(np.float32)
+    else:
+        if _HAS_CV2:
+            raw = cv2.imread(path, cv2.IMREAD_ANYDEPTH)
+            if raw is None:
+                raise FileNotFoundError(path)
+        else:
+            raw = np.asarray(Image.open(path))
+        raw = raw.astype(np.float32)
+        raw[raw == 65535] = 0  # 7Scenes invalid marker
+        depth = raw / 1000.0  # mm -> m
+    depth[depth < 1e-5] = 0.0
+    return depth
+
+
+def resize_nearest_np(x: np.ndarray, H: int, W: int) -> np.ndarray:
+    if _HAS_CV2:
+        return cv2.resize(x, (W, H), interpolation=cv2.INTER_NEAREST)
+    iy = (np.arange(H) * x.shape[0] / H).astype(np.int64)
+    ix = (np.arange(W) * x.shape[1] / W).astype(np.int64)
+    return x[iy][:, ix]
+
+
+def load_frame(base_dir: str, meta: Dict) -> Tuple[np.ndarray, np.ndarray,
+                                                   np.ndarray, np.ndarray]:
+    """(rgb uint8, depth m float32 at rgb res, Tcw [3,4], K [3,3]).
+
+    meta keys follow the preprocessors' info pkl contract: file_name,
+    depth_file_name, extrinsic_Tcw, camera_intrinsic (reference
+    reader.py:273-308).
+    """
+    img = load_image(os.path.join(base_dir, meta["file_name"]))
+    H, W = img.shape[:2]
+    dpath = os.path.join(base_dir, meta["depth_file_name"])
+    if os.path.exists(dpath):
+        depth = load_depth(dpath)
+        if depth.shape[:2] != (H, W):
+            depth = resize_nearest_np(depth, H, W)
+    else:
+        depth = np.zeros((H, W), dtype=np.float32)
+    Tcw = np.asarray(meta["extrinsic_Tcw"], dtype=np.float64)[:3]
+    K = np.asarray(meta["camera_intrinsic"], dtype=np.float64)
+    return img, depth.astype(np.float32), Tcw, K

@@ -34,11 +34,18 @@ class Embedder:
         self.include_input = include_input
         self.input_dims = input_dims
         max_freq = num_freqs - 1
-        if log_sampling:
-            freqs = 2.0 ** jnp.linspace(0.0, max_freq, num_freqs)
+        # plain-Python frequencies: Embedder may be constructed inside a jit
+        # trace (flax setup under the train step), where jnp ops would yield
+        # tracers that cannot be concretized.
+        if num_freqs == 1:
+            steps = [0.0]
         else:
-            freqs = jnp.linspace(2.0 ** 0.0, 2.0 ** max_freq, num_freqs)
-        self.freqs = tuple(float(f) for f in freqs)
+            steps = [max_freq * i / (num_freqs - 1) for i in range(num_freqs)]
+        if log_sampling:
+            self.freqs = tuple(2.0 ** s for s in steps)
+        else:
+            self.freqs = tuple(1.0 + (2.0 ** max_freq - 1.0) * i / max(num_freqs - 1, 1)
+                               for i in range(num_freqs))
         self.out_dim = input_dims * ((1 if include_input else 0) + 2 * len(self.freqs))
 
     def __call__(self, x: Array) -> Array:

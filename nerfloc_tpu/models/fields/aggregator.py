@@ -1,0 +1,166 @@
+"""Multi-view feature aggregation with NeuRay occlusion weighting.
+
+Rebuild of MultiviewFeatureAggregator (reference:
+nerf_loc/models/conditional_nerf/multiview_aggregator.py:21-222).
+
+Statefulness shift: the reference lazily caches `vis_featmaps` on the module
+(:29,41,100-101,178-179); here the caller computes them once per query frame
+via DepthFusionNet and passes them in as part of the SceneContext pytree —
+explicit dataflow that jit can hoist/reuse.
+"""
+from __future__ import annotations
+
+from typing import Any, NamedTuple, Optional
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from ...ops.interp import bilinear_sample
+from . import neuray
+from .projector import compute_projections, project_and_sample
+
+Array = jax.Array
+
+
+class SupportViews(NamedTuple):
+    """Per-query support set (the reference's topk_* tensors plus the
+    precomputed NeuRay ray-feature maps)."""
+    images: Array       # [V, H, W, 3]
+    depths: Array       # [V, H, W]
+    poses: Array        # [V, 4, 4] c2w
+    Ks: Array           # [V, 3, 3]
+    vis_featmaps: Array  # [V, H/4, W/4, 32]
+    near: Array         # scalar
+    far: Array          # scalar
+
+
+def fused_mean_variance(x: Array, weight: Array):
+    """Weighted mean/var along the view axis (reference ibrnet.py:8-12)."""
+    mean = jnp.sum(x * weight, axis=1, keepdims=True)
+    var = jnp.sum(weight * (x - mean) ** 2, axis=1, keepdims=True)
+    return mean, var
+
+
+class MultiviewFeatureAggregator(nn.Module):
+    """Projects query points into support views and fuses rgb+feature samples
+    with visibility weights decoded from NeuRay ray feats."""
+    out_channels: int = 128
+    hidden_dim: int = 64
+    dtype: Any = jnp.float32
+
+    def setup(self):
+        self.dist_decoder = neuray.MixtureLogisticsDistDecoder(dtype=self.dtype)
+        self.out_fc1 = nn.Dense(self.hidden_dim, dtype=self.dtype)
+        self.out_fc2 = nn.Dense(self.out_channels, dtype=self.dtype)
+
+    def _sample_ray_feats(self, sv: SupportViews, xyz: Array):
+        """Project [N,3] points into all views; sample vis featmaps + depths.
+
+        Equivalent of project_points_dict (depth_fusion.py:128-147): validity
+        uses the half-open bound (-0.5, size-0.5) (depth_fusion.py:122-123).
+        """
+        V, H, W = sv.images.shape[:3]
+        proj = compute_projections(xyz, sv.Ks, sv.poses, H, W)
+        u, v = proj.uv[..., 0], proj.uv[..., 1]
+        valid = (jnp.abs(proj.depth) >= 1e-4) & (u >= -0.5) & (u < W - 0.5) & \
+                (v >= -0.5) & (v < H - 0.5)
+        h, w = sv.vis_featmaps.shape[1], sv.vis_featmaps.shape[2]
+        scale = jnp.array([(w - 1.0) / (W - 1.0), (h - 1.0) / (H - 1.0)], dtype=xyz.dtype)
+        ray_feats = jax.vmap(lambda fm, uv: bilinear_sample(fm, uv))(
+            sv.vis_featmaps, proj.uv * scale)
+        ray_feats = ray_feats * valid[..., None].astype(ray_feats.dtype)
+        return ray_feats, proj.depth, valid
+
+    def predict_visibility(self, sv: SupportViews, xyz: Array):
+        """Per-view visibility of world points (multiview_aggregator.py:63-93).
+
+        Returns (vis [V, N], depth_diff [V, N]).
+        """
+        ray_feats, prj_depth, valid = self._sample_ray_feats(sv, xyz)
+        mean, var, vis_d, aw = self.dist_decoder(ray_feats)
+        ref_depths = neuray.decode_ref_depths(mean, sv.near, sv.far)
+        depth_diff = jnp.abs(prj_depth - ref_depths) / (sv.far - sv.near)
+        visibility = neuray.compute_visibility(
+            prj_depth[..., None], mean, var, vis_d, aw, sv.near, sv.far)
+        return visibility * valid.astype(visibility.dtype), depth_diff
+
+    def __call__(self, sv: SupportViews, featmaps: Array, xyz: Array):
+        """Aggregate per-point multiview features
+        (multiview_aggregator.py:156-222).
+
+        Args: featmaps [V, h, w, C] (backbone features); xyz [N, 3].
+        Returns: (out [N, out_channels], rgb_feat [N, V, 3+C], vis [N, V, 1]).
+        """
+        rgb, feat, mask = project_and_sample(xyz, sv.Ks, sv.poses, sv.images, featmaps)
+        rgb_feat = jnp.concatenate([rgb, feat], axis=-1)  # [N, V, 3+C]
+
+        vis, depth_diff = self.predict_visibility(sv, xyz)
+        vis = vis.T[..., None]           # [N, V, 1]
+        depth_diff = depth_diff.T[..., None]
+
+        weight = vis / (jnp.sum(vis, axis=1, keepdims=True) + 1e-8)
+        rf_mean, rf_var = fused_mean_variance(rgb_feat, weight)
+        dd_mean, dd_var = fused_mean_variance(depth_diff, weight)
+        globalfeat = jnp.concatenate([rf_mean, rf_var, dd_mean, dd_var], axis=-1)[:, 0]
+        feat_agg = jnp.concatenate([globalfeat, jnp.mean(weight, axis=1)], axis=-1)
+
+        out = nn.elu(self.out_fc1(feat_agg))
+        out = nn.elu(self.out_fc2(out))
+        return out, rgb_feat, vis
+
+    def predict_ref_depths(self, sv: SupportViews) -> Array:
+        """Decode per-view depth maps from ray feats at 1/4 res
+        (multiview_aggregator.py:39-48). Returns [V, h, w]."""
+        V, h, w, C = sv.vis_featmaps.shape
+        mean = self.dist_decoder.predict_mean(sv.vis_featmaps.reshape(V, h * w, C))
+        return neuray.decode_ref_depths(mean, sv.near, sv.far).reshape(V, h, w)
+
+    def ref_depth_loss(self, sv: SupportViews, depths_gt: Array) -> Array:
+        """Supervise decoded ref depths against (clean) sensor depth in
+        inverse-normalized space (multiview_aggregator.py:50-61)."""
+        pred = self.predict_ref_depths(sv)
+        V, h, w = pred.shape
+        gt = jax.image.resize(depths_gt, (V, h, w), method="nearest")
+        mask = (gt > 0).astype(pred.dtype)
+        gt_n = neuray.to_inverse_normalized_depth(gt, sv.near, sv.far)
+        pd_n = neuray.to_inverse_normalized_depth(pred, sv.near, sv.far)
+        err = (gt_n - pd_n) ** 2 * mask
+        return jnp.sum(err) / jnp.maximum(jnp.sum(mask), 1.0)
+
+    def predict_alpha_weights(self, sv: SupportViews, que_pts: Array,
+                              que_depth: Array, que_dists: Array,
+                              alpha_ground_state: float = -15.0) -> Array:
+        """Volume-rendering weights along query rays from NeuRay alphas
+        (predict_weights_from_neuray, multiview_aggregator.py:95-154).
+
+        que_pts [rn, dn, 3], que_depth [rn, dn] (sorted), que_dists [rn, dn]
+        inverse-normalized intervals. Returns weights [rn, dn].
+        """
+        rn, dn, _ = que_pts.shape
+        flat = que_pts.reshape(rn * dn, 3)
+        ray_feats, prj_depth, valid = self._sample_ray_feats(sv, flat)
+        mean, var, vis_d, aw = self.dist_decoder(ray_feats)
+
+        V = ray_feats.shape[0]
+        prj_depth = prj_depth.reshape(V, rn, dn)
+        mean = mean.reshape(V, rn, dn, 2)
+        var = var.reshape(V, rn, dn, 2)
+        vis_d = vis_d.reshape(V, rn, dn, 1)
+        aw = aw.reshape(V, rn, dn, 1)
+        interval = jnp.broadcast_to(que_dists[None], (V, rn, dn))
+
+        alpha_logit, visibility, _ = neuray.compute_alpha_prob(
+            prj_depth, interval, mean, var, vis_d, aw, sv.near, sv.far)
+
+        m = valid.reshape(V, rn, dn).astype(alpha_logit.dtype)
+        alphas = alpha_logit * m + (1.0 - m) * alpha_ground_state
+        vis = visibility * m
+        alphas = jnp.sum(alphas * vis, axis=0) / jnp.clip(jnp.sum(vis, axis=0), 1e-8)
+        invalid_ray = jnp.sum(m, axis=0) == 0
+        alphas = jnp.where(invalid_ray, alpha_ground_state, alphas)
+
+        a = jax.nn.sigmoid(alphas)  # [rn, dn]
+        shifted = jnp.concatenate([jnp.ones_like(a[:, :1]), 1.0 - a[:, :-1]], axis=-1)
+        transmittance = jnp.cumprod(shifted, axis=-1)
+        return a * transmittance

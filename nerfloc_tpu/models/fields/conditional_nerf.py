@@ -1,0 +1,442 @@
+"""Conditional NeRF: generalizable neural field conditioned on support views.
+
+Rebuild of ConditionalNeRF (reference: nerf_loc/models/conditional_nerf/
+model.py:29-713) with functional state (SceneContext) and static shapes:
+
+  build_scene_context   <- build_support_neural_points (model.py:144-201)
+  query                 <- query (model.py:344-436)
+  query_coarse / _fine  <- model.py:277-342
+  render_rays           <- model.py:472-600
+  sample_keypoints      <- sample_points_3d (model.py:267-275), via Gumbel
+                           top-k (== multinomial without replacement)
+
+Dynamic -> static shifts:
+  * neural points are dense per-pixel buffers with masks (context.py)
+  * KNN is ops.knn (streamed top-k) with the point mask
+  * keypoint sampling is fixed-K Gumbel top-k
+"""
+from __future__ import annotations
+
+from typing import Any, Dict, Optional, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from ...configs import Config
+from ...geometry.cameras import get_rays, scale_intrinsics, world_to_camera
+from ...geometry.embedder import Embedder
+from ...geometry.math import safe_normalize, safe_sqrt
+from ...ops.interp import resize_nearest
+from ...ops.knn import knn, knn_gather
+from ..transformer import MultiHeadAttention
+from .aggregator import MultiviewFeatureAggregator, SupportViews
+from .context import NeuralPoints, SceneContext
+from .neuray import DepthFusionNet, depth2inv_dists
+from .projector import compute_angle, compute_projections
+from .ray_unet import RayUnet
+
+Array = jax.Array
+
+
+class MLP(nn.Module):
+    """Simple stack of Dense layers with a configurable activation between."""
+    features: Tuple[int, ...]
+    activation: str = "leaky_relu"
+    final_activation: Optional[str] = None
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: Array) -> Array:
+        acts = {
+            "leaky_relu": lambda y: nn.leaky_relu(y, 0.01),
+            "relu": nn.relu,
+            "elu": nn.elu,
+            "sigmoid": nn.sigmoid,
+            "softplus": nn.softplus,
+            None: lambda y: y,
+        }
+        for i, f in enumerate(self.features):
+            x = nn.Dense(f, dtype=self.dtype, name=f"fc{i}")(x)
+            if i < len(self.features) - 1:
+                x = acts[self.activation](x)
+            elif self.final_activation is not None:
+                x = acts[self.final_activation](x)
+        return x
+
+
+class ConditionalNeRF(nn.Module):
+    cfg: Config
+    dtype: Any = jnp.float32
+
+    def setup(self):
+        cfg = self.cfg
+        W = cfg.model_3d_hidden_dim
+        self.xyz_embed = Embedder(cfg.multires)            # 63-d for multires=10
+        self.view_embed = Embedder(cfg.multires_views)     # 27-d for multires_views=4
+
+        # model.py:36-39
+        self.ray_diff_fc = MLP((16, self.view_embed.out_dim), activation="leaky_relu",
+                               final_activation="leaky_relu", dtype=self.dtype)
+
+        self.multiview_aggregator = MultiviewFeatureAggregator(
+            out_channels=W, dtype=self.dtype)
+        self.depth_fusion = DepthFusionNet(dtype=self.dtype)
+
+        # model.py:52-61
+        self.confidence_mlp = MLP((64, 1), final_activation="sigmoid", dtype=self.dtype)
+        self.keypoint_head = MLP((1,), final_activation="sigmoid", dtype=self.dtype)
+
+        # model.py:63-77
+        self.base_mlp = MLP((W, W, W), final_activation="leaky_relu", dtype=self.dtype)
+        self.base_mlp_attn = MultiHeadAttention(4, W, 32, 32, dtype=self.dtype)
+        self.base_mlp_agg_weight = MLP((W, 1), dtype=self.dtype)
+
+        n_total_samples = cfg.render.N_samples + cfg.render.N_importance
+        self.ray_unet = RayUnet(W, n_total_samples, dtype=self.dtype)
+        self.sigma_mlp = MLP((1,), final_activation="softplus", dtype=self.dtype)
+        if cfg.render.render_feature:
+            self.feat_mlp = MLP((W, cfg.backbone2d_fpn_dim), dtype=self.dtype)
+        self.rgb_blending_mlp = MLP((32, 16, 1), dtype=self.dtype)
+        if cfg.render.use_render_uncertainty:
+            self.beta_mlp = MLP((1,), final_activation="softplus", dtype=self.dtype)
+        self.beta_min = 0.1
+
+        if cfg.use_scene_coord_memorization:  # model.py:115-130
+            self.coord_desc_mlp_coarse = MLP((W, W, cfg.matcher_hidden_dim),
+                                             activation="relu", dtype=self.dtype)
+            self.coord_desc_mlp_fine = MLP((W, W, cfg.matcher_hidden_dim),
+                                           activation="relu", dtype=self.dtype)
+
+        self.proj_layer_3d_coarse = nn.Dense(cfg.matcher_hidden_dim, dtype=self.dtype)
+        self.proj_layer_3d_fine = nn.Dense(cfg.matcher_hidden_dim, dtype=self.dtype)
+
+    def __call__(self, images: Array, depths: Array, poses: Array, Ks: Array,
+                 near: Array, far: Array, feat_coarse_src: Array,
+                 feat_fine_src: Array, stride_coarse: int, stride_fine: int,
+                 rng: Array):
+        """Initialization path: touches every submodule so `init` creates the
+        full parameter tree (individual methods only init their own subsets)."""
+        ctx = self.build_scene_context(images, depths, poses, Ks, near, far,
+                                       feat_coarse_src, feat_fine_src,
+                                       stride_coarse, stride_fine)
+        desc_c, pts, _ = self.query_coarse(ctx, None, rng)
+        desc_f = self.query_fine(ctx, pts[:2])
+        rays_o = jnp.broadcast_to(poses[0, :3, 3], (2, 3))
+        rays_d = jnp.broadcast_to(poses[0, :3, 2], (2, 3))
+        out = self.render_rays(ctx, rays_o, rays_d, poses[0], train=True)
+        return desc_c, desc_f, out
+
+    # ------------------------------------------------------------------
+    # scene context construction
+    # ------------------------------------------------------------------
+
+    def _backproject_level(self, sv: SupportViews, featmaps: Array, stride: int
+                           ) -> NeuralPoints:
+        """Dense neural points for one level (backproject_support_frame,
+        model.py:203-265) — every featmap pixel is a point, mask = depth>0."""
+        V, H, Wd = sv.depths.shape
+        h, w = H // stride, Wd // stride
+
+        def per_view(img, depth, K, c2w, feat):
+            Ks = scale_intrinsics(K, float(stride))
+            d = resize_nearest(depth[..., None], h, w)[..., 0]
+            im = resize_nearest(img, h, w)
+            rays_o, rays_d = get_rays(h, w, Ks, c2w)
+            x = (jnp.arange(w, dtype=d.dtype) - Ks[0, 2]) / Ks[0, 0]
+            y = (jnp.arange(h, dtype=d.dtype) - Ks[1, 2]) / Ks[1, 1]
+            xx, yy = jnp.meshgrid(x, y, indexing="xy")
+            pts_cam = jnp.stack([xx * d, yy * d, d], axis=-1)
+            pts_w = pts_cam @ c2w[:3, :3].T + c2w[:3, 3]
+            desc = jnp.concatenate([im, feat], axis=-1)
+            direction = jnp.concatenate([rays_d, d[..., None]], axis=-1)
+            return (pts_w.reshape(-1, 3), desc.reshape(-1, desc.shape[-1]),
+                    direction.reshape(-1, 4), (d > 0).reshape(-1))
+
+        pts_w, desc, direction, mask = jax.vmap(per_view)(
+            sv.images, sv.depths, sv.Ks, sv.poses, featmaps)
+        P = V * h * w
+        pts_w = pts_w.reshape(P, 3)
+        desc = desc.reshape(P, -1)
+        direction = direction.reshape(P, 4)
+        mask = mask.reshape(P)
+        # reference frame = first support view (model.py:220,237-238)
+        pts_ndc = world_to_camera(sv.poses[0], pts_w)
+        return NeuralPoints(xyz=pts_w, xyz_ndc=pts_ndc, feature=desc,
+                            confidence=jnp.ones((P, 1), desc.dtype),
+                            direction=direction, mask=mask)
+
+    def build_scene_context(self, images: Array, depths: Array, poses: Array,
+                            Ks: Array, near: Array, far: Array,
+                            feat_coarse_src: Array, feat_fine_src: Array,
+                            stride_coarse: int, stride_fine: int,
+                            embedding_a: Optional[Array] = None) -> SceneContext:
+        """build_support_neural_points (model.py:144-201) + vis featmaps."""
+        vis_featmaps = self.depth_fusion(images, depths, Ks, poses, near, far)
+        sv = SupportViews(images=images, depths=depths, poses=poses, Ks=Ks,
+                          vis_featmaps=vis_featmaps, near=near, far=far)
+
+        coarse = self._backproject_level(sv, feat_coarse_src, stride_coarse)
+        fine = self._backproject_level(sv, feat_fine_src, stride_fine)
+
+        # coarse confidence is fixed to 1 (model.py:171); fine confidence via
+        # the multiview aggregator (model.py:172-175).
+        mv_feat, _, _ = self.multiview_aggregator(sv, feat_fine_src, fine.xyz)
+        conf_f = self.confidence_mlp(mv_feat)
+        fine = fine.replace(confidence=conf_f * fine.mask[:, None].astype(conf_f.dtype))
+
+        kp = self.keypoint_head(coarse.feature[:, 3:])  # model.py:178
+        coarse = coarse.replace(kp_score=kp)
+
+        return SceneContext(sv=sv, coarse=coarse, fine=fine,
+                            feat_coarse_src=feat_coarse_src,
+                            feat_fine_src=feat_fine_src,
+                            embedding_a=embedding_a)
+
+    # ------------------------------------------------------------------
+    # keypoint sampling
+    # ------------------------------------------------------------------
+
+    def sample_keypoints(self, ctx: SceneContext, rng: Array, num: int):
+        """sample_points_3d (model.py:267-275): multinomial without
+        replacement over keypoint scores == Gumbel top-k on log scores."""
+        score = ctx.coarse.kp_score[:, 0]
+        logits = jnp.where(ctx.coarse.mask, jnp.log(jnp.clip(score, 1e-12)), -jnp.inf)
+        g = jax.random.gumbel(rng, logits.shape, dtype=logits.dtype)
+        _, idx = jax.lax.top_k(logits + g, num)
+        return (ctx.coarse.xyz[idx], ctx.coarse.xyz_ndc[idx], idx)
+
+    # ------------------------------------------------------------------
+    # querying
+    # ------------------------------------------------------------------
+
+    def query(self, ctx: SceneContext, xyz: Array, level: str, K: int,
+              direction: Optional[Array] = None) -> Dict[str, Array]:
+        """Aggregate a descriptor for arbitrary 3D points (model.py:344-436)."""
+        cfg = self.cfg
+        points = ctx.coarse if level == "coarse" else ctx.fine
+        featmaps = ctx.feat_coarse_src if level == "coarse" else ctx.feat_fine_src
+
+        mv_agg, mv_feat, mv_vis = self.multiview_aggregator(ctx.sv, featmaps, xyz)
+
+        dists, idx = knn(xyz, points.xyz, K=K, points_mask=points.mask)
+        dists = safe_sqrt(dists)
+        nb_xyz = knn_gather(points.xyz, idx)            # [N, K, 3]
+        nb_feat = knn_gather(points.feature, idx)       # [N, K, F]
+        nb_conf = knn_gather(points.confidence, idx)    # [N, K, 1]
+        nb_dir = knn_gather(points.direction, idx)      # [N, K, 4]
+
+        if direction is None:
+            direction = nb_dir[:, 0, :]  # model.py:391-392
+
+        xyz_offset = xyz[:, None, :] - nb_xyz
+        ray_diff = safe_normalize(direction[:, None, :3] - nb_dir[..., :3])
+        ray_dot = jnp.sum(direction[:, None, :3] * nb_dir[..., :3], axis=-1, keepdims=True)
+        ray_diff = jnp.concatenate([ray_diff, ray_dot], axis=-1)  # [N, K, 4]
+
+        scale = ctx.sv.far - ctx.sv.near
+        point_feature = self.base_mlp(jnp.concatenate([
+            nb_feat,
+            self.xyz_embed(xyz_offset / scale),
+            self.ray_diff_fc(ray_diff),
+        ], axis=-1))  # [N, K, W]
+
+        q = jnp.repeat(mv_agg[:, None, :], K, axis=1)
+        feature, _ = self.base_mlp_attn(q, point_feature, point_feature)
+        correlation = jax.nn.softmax(
+            self.base_mlp_agg_weight(feature)[..., 0], axis=1)  # [N, K]
+
+        weights = 1.0 / jnp.clip(dists, 1e-8)
+        weights = weights * correlation * nb_conf[..., 0]
+        weights = weights / jnp.clip(jnp.sum(weights, axis=1, keepdims=True), 1e-8)
+        feature_agg = jnp.sum(feature * weights[..., None], axis=1)  # [N, W]
+
+        return {
+            "feature_agg": feature_agg,
+            "feature": feature,
+            "weights": weights,
+            "multiview_feature": mv_feat,
+            "multiview_visibility": mv_vis,
+        }
+
+    def query_coarse(self, ctx: SceneContext, points: Optional[Array] = None,
+                     rng: Optional[Array] = None):
+        """model.py:277-312. Returns (desc [N, hidden], pts3d, pts3d_ndc)."""
+        if points is None:
+            pts3d, pts3d_ndc, sample_idx = self.sample_keypoints(
+                ctx, rng, self.cfg.matching.fine_num_3d_keypoints)
+            feature_2d = ctx.coarse.feature[sample_idx]
+        else:
+            pts3d = points
+            pts3d_ndc = world_to_camera(ctx.sv.poses[0], points)
+            _, idx = knn(points, ctx.coarse.xyz, K=1, points_mask=ctx.coarse.mask)
+            feature_2d = knn_gather(ctx.coarse.feature, idx)[:, 0]
+
+        qd = self.query(ctx, pts3d, level="coarse", K=8)
+        desc = self.proj_layer_3d_coarse(
+            jnp.concatenate([qd["feature_agg"], feature_2d], axis=1))
+        if self.cfg.use_scene_coord_memorization:
+            desc = desc + self.coord_desc_mlp_coarse(self.xyz_embed(pts3d))
+        return desc, pts3d, pts3d_ndc
+
+    def query_fine(self, ctx: SceneContext, points: Array):
+        """model.py:314-342."""
+        _, idx = knn(points, ctx.fine.xyz, K=1, points_mask=ctx.fine.mask)
+        feature_2d = knn_gather(ctx.fine.feature, idx)[:, 0]
+        qd = self.query(ctx, points, level="fine", K=1)
+        desc = self.proj_layer_3d_fine(
+            jnp.concatenate([qd["feature_agg"], feature_2d], axis=1))
+        if self.cfg.use_scene_coord_memorization:
+            desc = desc + self.coord_desc_mlp_fine(self.xyz_embed(points))
+        return desc
+
+    # ------------------------------------------------------------------
+    # rendering
+    # ------------------------------------------------------------------
+
+    def sample_depths(self, N_samples: int, near, far, dtype=jnp.float32) -> Array:
+        """Stratified (deterministic) depths (model.py:451-458)."""
+        t = jnp.linspace(0.0, 1.0, N_samples, dtype=dtype)
+        if not self.cfg.render.lindisp:
+            return near * (1.0 - t) + far * t
+        return 1.0 / (1.0 / near * (1.0 - t) + 1.0 / far * t)
+
+    def render_rays(self, ctx: SceneContext, rays_o: Array, rays_d: Array,
+                    pose: Array, train: bool = False) -> Dict[str, Array]:
+        """Volume-render rays against the conditional field (model.py:472-600).
+
+        rays_o/rays_d: [R, 3]; pose: query c2w [4,4] (for blending angles).
+        """
+        cfg = self.cfg
+        near, far = ctx.sv.near, ctx.sv.far
+        N_samples = cfg.render.N_samples
+        R = rays_o.shape[0]
+
+        z_vals = jnp.broadcast_to(
+            self.sample_depths(N_samples, near, far, rays_o.dtype), (R, N_samples))
+
+        depth_coarse = None
+        if cfg.render.N_importance > 0:
+            z_coarse = jnp.broadcast_to(
+                self.sample_depths(64, near, far, rays_o.dtype), (R, 64))
+            que_pts = rays_o[:, None, :] + rays_d[:, None, :] * z_coarse[..., None]
+            que_dists = depth2inv_dists(z_coarse, near, far)
+            w_coarse = self.multiview_aggregator.predict_alpha_weights(
+                ctx.sv, que_pts, z_coarse, que_dists)
+            depth_coarse = jnp.sum(w_coarse * z_coarse, axis=-1)
+            z_mid = 0.5 * (z_coarse[:, :-1] + z_coarse[:, 1:])
+            z_fine = sample_pdf_det(z_mid, jax.lax.stop_gradient(w_coarse[:, 1:-1]),
+                                    cfg.render.N_importance)
+            z_vals = jnp.sort(jnp.concatenate([z_vals, z_fine], axis=-1), axis=-1)
+            N_samples = N_samples + cfg.render.N_importance
+
+        xyz = rays_o[:, None, :] + rays_d[:, None, :] * z_vals[..., None]
+        xyz_flat = xyz.reshape(-1, 3)
+        dir_flat = jnp.concatenate([
+            jnp.broadcast_to(rays_d[:, None, :], (R, N_samples, 3)).reshape(-1, 3),
+            z_vals.reshape(-1, 1),
+        ], axis=-1)
+
+        qd = self.query(ctx, xyz_flat, level="fine", K=8, direction=dir_flat)
+        feature_agg = qd["feature_agg"]
+        mv_feat = qd["multiview_feature"]
+        mv_vis = qd["multiview_visibility"]
+
+        geo_feat = self.ray_unet(feature_agg.reshape(R, N_samples, -1))
+        geo_flat = geo_feat.reshape(R * N_samples, -1)
+        sigma = self.sigma_mlp(geo_flat)  # [RN, 1]
+
+        # color blending (model.py:528-538)
+        V = mv_feat.shape[1]
+        rgb_in = mv_feat[:, :, :3]
+        ray_diff = compute_angle(xyz_flat, pose, ctx.sv.poses).transpose(1, 0, 2)
+        x_rgb = jnp.concatenate([
+            jnp.broadcast_to(feature_agg[:, None, :], (feature_agg.shape[0], V,
+                                                       feature_agg.shape[1])),
+            mv_feat, mv_vis, ray_diff,
+        ], axis=-1)
+        bw = self.rgb_blending_mlp(x_rgb)
+        bw = jnp.where(mv_vis == 0, -1e9, bw)
+        bw = jax.nn.softmax(bw, axis=1)
+        rgb = jnp.sum(rgb_in * bw, axis=1)  # [RN, 3]
+
+        sigma = sigma.reshape(R, N_samples)
+        rgb = rgb.reshape(R, N_samples, 3)
+        deltas = z_vals[:, 1:] - z_vals[:, :-1]
+        deltas = jnp.concatenate([deltas, 1e2 * jnp.ones_like(deltas[:, :1])], axis=-1)
+        alphas = 1.0 - jnp.exp(-deltas * sigma)
+        shifted = jnp.concatenate([jnp.ones_like(alphas[:, :1]), 1.0 - alphas[:, :-1]],
+                                  axis=-1)
+        transmittance = jnp.cumprod(shifted, axis=-1)
+        weights = alphas * transmittance
+        weights_sum = jnp.sum(weights, axis=-1)
+
+        rgb_out = jnp.sum(weights[..., None] * rgb, axis=1)
+        if cfg.render.white_bkgd:
+            rgb_out = rgb_out + (1.0 - weights_sum[:, None])
+        depth = jnp.sum(weights * z_vals, axis=-1)
+        depth_unc = jnp.sum(weights * (z_vals - depth[:, None]) ** 2, axis=-1)
+
+        # validity mask (model.py:563-575)
+        H, W = ctx.sv.images.shape[1:3]
+        proj = compute_projections(xyz_flat, ctx.sv.Ks, ctx.sv.poses, H, W)
+        valid = (proj.in_front & proj.inbound).astype(jnp.float32).T  # [RN, V]
+        valid = valid.reshape(R, N_samples, -1).sum(axis=2) > 1
+        # the reference requires >8 valid samples per ray at N_samples=64
+        # (model.py:571-575); scale the threshold for smaller sample counts
+        valid_mask = valid.astype(jnp.float32).sum(axis=1) > min(8, N_samples // 2)
+
+        outputs = {
+            "rgb": rgb_out,
+            "depth": depth,
+            "weights": weights,
+            "mask": valid_mask,
+            "depth_uncertainty": depth_unc,
+        }
+        if depth_coarse is not None:
+            outputs["depth_coarse"] = depth_coarse
+
+        if train and cfg.render.use_render_uncertainty:
+            beta = self.beta_mlp(geo_flat).reshape(R, N_samples)
+            outputs["beta"] = jnp.sum(weights * beta, axis=-1) + self.beta_min
+
+        if cfg.render.render_feature:
+            feat = self.feat_mlp(feature_agg).reshape(R, N_samples, -1)
+            outputs["feat"] = jnp.sum(weights[..., None] * feat, axis=1)
+
+        return outputs
+
+    def query_rgb(self, ctx: SceneContext, xyz: Array) -> Array:
+        """Mask-averaged support RGB at points (model.py:438-449)."""
+        from .projector import project_and_sample
+
+        rgb, _, mask = project_and_sample(xyz, ctx.sv.Ks, ctx.sv.poses,
+                                          ctx.sv.images, ctx.feat_fine_src)
+        weight = mask / (jnp.sum(mask, axis=1, keepdims=True) + 1e-8)
+        return jnp.sum(rgb * weight, axis=1)
+
+
+def sample_pdf_det(bins: Array, weights: Array, N_importance: int,
+                   eps: float = 1e-5) -> Array:
+    """Deterministic inverse-CDF sampling (sample_pdf, reference
+    conditional_nerf/utils.py:73-112 with det=True)."""
+    R, M = weights.shape
+    weights = weights + eps
+    pdf = weights / jnp.sum(weights, axis=-1, keepdims=True)
+    cdf = jnp.cumsum(pdf, axis=-1)
+    cdf = jnp.concatenate([jnp.zeros_like(cdf[:, :1]), cdf], axis=-1)  # [R, M+1]
+
+    u = jnp.broadcast_to(jnp.linspace(0.0, 1.0, N_importance, dtype=bins.dtype),
+                         (R, N_importance))
+    inds = jax.vmap(lambda c, uu: jnp.searchsorted(c, uu, side="right"))(cdf, u)
+    below = jnp.clip(inds - 1, 0)
+    above = jnp.clip(inds, max=M)
+
+    cdf_b = jnp.take_along_axis(cdf, below, axis=1)
+    cdf_a = jnp.take_along_axis(cdf, above, axis=1)
+    bins_b = jnp.take_along_axis(bins, jnp.clip(below, max=M - 1), axis=1)
+    bins_a = jnp.take_along_axis(bins, jnp.clip(above, max=M - 1), axis=1)
+
+    denom = cdf_a - cdf_b
+    denom = jnp.where(denom < eps, 1.0, denom)
+    return bins_b + (u - cdf_b) / denom * (bins_a - bins_b)

@@ -1,0 +1,46 @@
+"""Functional scene state.
+
+The reference caches `support_neural_points` and `vis_featmaps` as module
+attributes reset per frame (reference: conditional_nerf/model.py:79,289-290;
+nerf_pose_estimator.py:288-290). In JAX that implicit state becomes an
+explicit pytree — `SceneContext` — built once per query frame and threaded
+through every query/render call, so jit sees pure functions of (params, ctx).
+"""
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+from flax import struct
+
+from .aggregator import SupportViews
+
+Array = jax.Array
+
+
+@struct.dataclass
+class NeuralPoints:
+    """Padded, masked neural point cloud (one of 'coarse' / 'fine' levels).
+
+    Static capacity P = V * (H/stride) * (W/stride): every feature-map pixel
+    of every support view is a slot; `mask` = (depth > 0) validity
+    (replaces the reference's dynamic torch.nonzero gather, model.py:230).
+    """
+    xyz: Array          # [P, 3] world
+    xyz_ndc: Array      # [P, 3] in reference-view (topk_poses[0]) frame
+    feature: Array      # [P, 3+C] rgb + backbone feature
+    confidence: Array   # [P, 1]
+    direction: Array    # [P, 4] world view dir + view distance
+    mask: Array         # [P] bool
+    kp_score: Optional[Array] = None  # [P, 1] (coarse level only)
+
+
+@struct.dataclass
+class SceneContext:
+    """Everything derived from the support set for one localization query."""
+    sv: SupportViews           # images/depths/poses/Ks + NeuRay ray feats
+    coarse: NeuralPoints
+    fine: NeuralPoints
+    feat_coarse_src: Array     # [V, Hc, Wc, C] support coarse features
+    feat_fine_src: Array       # [V, Hf, Wf, C] support fine features
+    embedding_a: Optional[Array] = None  # appearance embedding of the query

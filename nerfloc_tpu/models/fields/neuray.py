@@ -1,0 +1,325 @@
+"""NeuRay-style visibility: depth fusion encoder + mixture-logistics decoder.
+
+Rebuild of:
+  - DepthFusionNet + ResEncoder (reference: nerf_loc/models/conditional_nerf/
+    depth_fusion.py:239-282, neuray_ops.py:152-239): per-support-view encoder
+    of [rgb, normalized inverse depth, cross-view consistency features] ->
+    32-channel "ray feats" at 1/4 resolution.
+  - MixtureLogisticsDistDecoder (visibility_decoder.py:53-193): decodes ray
+    feats into a 2-component logistic mixture over normalized inverse depth;
+    gives per-view visibility of arbitrary 3D points and alpha values along
+    query rays (used as the coarse sampling PDF).
+
+All depth math operates in inverse-normalized depth
+d_norm = (-1/d + 1/near) / (1/near - 1/far) in [0, 1]
+(reference losses.py:15-21, visibility_decoder.py:121-128).
+"""
+from __future__ import annotations
+
+from typing import Any, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from ...geometry.cameras import backproject_depth, camera_project, world_to_camera
+from ...ops.interp import bilinear_sample
+
+Array = jax.Array
+
+
+def to_inverse_normalized_depth(depth: Array, near: Array, far: Array) -> Array:
+    """reference losses.py:15-21 (clamped to [0, 1])."""
+    near_inv, far_inv = -1.0 / near, -1.0 / far
+    d = -1.0 / jnp.clip(depth, 1e-5)
+    return jnp.clip((d - near_inv) / (far_inv - near_inv), 0.0, 1.0)
+
+
+def inverse_normalize_unclamped(depth: Array, near: Array, far: Array) -> Array:
+    """Same transform without the [0,1] clamp (visibility_decoder.py:121-128)."""
+    near_inv, far_inv = -1.0 / near, -1.0 / far
+    d = -1.0 / jnp.clip(depth, 1e-5)
+    return (d - near_inv) / (far_inv - near_inv)
+
+
+def from_inverse_normalized_depth(d_norm: Array, near: Array, far: Array) -> Array:
+    """Invert the normalization (decode_ref_depths, visibility_decoder.py:140-148)."""
+    near_inv, far_inv = -1.0 / near, -1.0 / far
+    d_inv = d_norm * (far_inv - near_inv) + near_inv
+    return jnp.clip(-1.0 / d_inv, near, far)
+
+
+def depth2inv_dists(depth: Array, near: Array, far: Array) -> Array:
+    """Per-sample intervals in inverse-normalized space (depth_fusion.py:47-58):
+    diffs along the last axis padded with 1e6."""
+    d = inverse_normalize_unclamped(depth, near, far)
+    dists = d[..., 1:] - d[..., :-1]
+    last = jnp.full(d.shape[:-1] + (1,), 1e6, dtype=d.dtype)
+    return jnp.concatenate([dists, last], axis=-1)
+
+
+# ---------------------------------------------------------------------------
+# reflect-padded convolution helpers (the reference uses padding_mode='reflect'
+# everywhere in the NeuRay encoder, neuray_ops.py:5-12)
+# ---------------------------------------------------------------------------
+
+class RConv(nn.Module):
+    features: int
+    kernel: int = 3
+    stride: int = 1
+    use_bias: bool = False
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: Array) -> Array:
+        p = (self.kernel - 1) // 2
+        hi = self.kernel - 1 - p
+        if p or hi:
+            x = jnp.pad(x, ((0, 0), (p, hi), (p, hi), (0, 0)), mode="reflect")
+        return nn.Conv(self.features, (self.kernel, self.kernel),
+                       strides=(self.stride, self.stride), padding="VALID",
+                       use_bias=self.use_bias, dtype=self.dtype)(x)
+
+
+class INorm(nn.Module):
+    """InstanceNorm2d(affine=True, track_running_stats=False) equivalent."""
+    features: int
+
+    @nn.compact
+    def __call__(self, x: Array) -> Array:
+        mean = jnp.mean(x, axis=(-3, -2), keepdims=True)
+        var = jnp.var(x, axis=(-3, -2), keepdims=True)
+        y = (x - mean) * jax.lax.rsqrt(var + 1e-5)
+        scale = self.param("scale", nn.initializers.ones, (self.features,))
+        bias = self.param("bias", nn.initializers.zeros, (self.features,))
+        return y * scale + bias
+
+
+class BasicBlock(nn.Module):
+    """ResNet basic block with InstanceNorm + reflect padding
+    (neuray_ops.py:88-125)."""
+    planes: int
+    stride: int = 1
+    downsample: bool = False
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: Array) -> Array:
+        identity = x
+        out = RConv(self.planes, 3, self.stride, dtype=self.dtype, name="conv1")(x)
+        out = INorm(self.planes, name="bn1")(out)
+        out = nn.relu(out)
+        out = RConv(self.planes, 3, 1, dtype=self.dtype, name="conv2")(out)
+        out = INorm(self.planes, name="bn2")(out)
+        if self.downsample:
+            identity = RConv(self.planes, 1, self.stride, dtype=self.dtype, name="ds_conv")(x)
+            identity = INorm(self.planes, name="ds_bn")(identity)
+        return nn.relu(out + identity)
+
+
+class ConvIN(nn.Module):
+    """conv + InstanceNorm + ELU (neuray_ops.py:127-140)."""
+    features: int
+    kernel: int = 3
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: Array) -> Array:
+        x = RConv(self.features, self.kernel, 1, use_bias=True, dtype=self.dtype, name="conv")(x)
+        x = INorm(self.features, name="bn")(x)
+        return nn.elu(x)
+
+
+class ResEncoder(nn.Module):
+    """12-channel input -> 32-channel ray feats at 1/4 res (neuray_ops.py:152-239)."""
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: Array) -> Array:
+        # conv1: 8x8 stride 2, reflect pad 2 (neuray_ops.py:168). With an even
+        # kernel the torch output size is floor((H+2*2-8)/2)+1 = H/2 - 1 for
+        # even H; we pad (2,2) then VALID to reproduce it.
+        x = jnp.pad(x, ((0, 0), (2, 2), (2, 2), (0, 0)), mode="reflect")
+        x = nn.Conv(32, (8, 8), strides=(2, 2), padding="VALID", use_bias=False,
+                    dtype=self.dtype, name="conv1")(x)
+        x = INorm(32, name="bn1")(x)
+        x = nn.relu(x)
+
+        def layer(x, planes, stride, n, prefix):
+            for i in range(n):
+                x = BasicBlock(planes, stride=stride if i == 0 else 1,
+                               downsample=(i == 0), dtype=self.dtype,
+                               name=f"{prefix}_{i}")(x)
+            return x
+
+        x1 = layer(x, 32, 2, 2, "layer1")
+        x2 = layer(x1, 64, 2, 2, "layer2")
+        x3 = layer(x2, 128, 2, 2, "layer3")
+
+        def upconv(x, feats, name, target):
+            th, tw = target.shape[1], target.shape[2]
+            x = jax.image.resize(x, (x.shape[0], th, tw, x.shape[-1]), method="bilinear")
+            return ConvIN(feats, 3, dtype=self.dtype, name=name)(x)
+
+        u3 = upconv(x3, 64, "upconv3", x2)
+        u3 = ConvIN(64, 3, dtype=self.dtype, name="iconv3")(jnp.concatenate([x2, u3], -1))
+        u2 = upconv(u3, 32, "upconv2", x1)
+        u2 = ConvIN(32, 3, dtype=self.dtype, name="iconv2")(jnp.concatenate([x1, u2], -1))
+        return nn.Conv(32, (1, 1), dtype=self.dtype, name="out_conv")(u2)
+
+
+class DepthFusionNet(nn.Module):
+    """Support-view 'ray feature' extractor (depth_fusion.py:239-282).
+
+    __call__(images [V,H,W,3], depths [V,H,W], Ks, c2ws, near, far)
+      -> [V, H/4, W/4, 32]
+    """
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, images: Array, depths: Array, Ks: Array, c2ws: Array,
+                 near: Array, far: Array) -> Array:
+        V, H, W, _ = images.shape
+        d_norm = to_inverse_normalized_depth(depths, near, far)[..., None]  # V,H,W,1
+        diff = cross_view_diff_feats(images, d_norm[..., 0], Ks, c2ws, near, far)
+        feats = ResEncoder(dtype=self.dtype, name="fuse_net")(
+            jnp.concatenate([images, d_norm, diff], axis=-1))
+        # depth skip: Conv(1->8, k2 s2) + ReLU + Conv(8->16, k2 s2)
+        ds = nn.Conv(8, (2, 2), strides=(2, 2), padding="VALID", dtype=self.dtype,
+                     name="depth_skip1")(d_norm)
+        ds = nn.relu(ds)
+        ds = nn.Conv(16, (2, 2), strides=(2, 2), padding="VALID", dtype=self.dtype,
+                     name="depth_skip2")(ds)
+        # spatial sizes can differ by a pixel (conv1's H/2-1); align by resize
+        if ds.shape[1:3] != feats.shape[1:3]:
+            ds = jax.image.resize(ds, (V, feats.shape[1], feats.shape[2], 16),
+                                  method="bilinear")
+        return nn.Conv(32, (1, 1), dtype=self.dtype, name="conv_out")(
+            jnp.concatenate([ds, feats], axis=-1))
+
+
+def cross_view_diff_feats(images: Array, d_norm: Array, Ks: Array, c2ws: Array,
+                          near: Array, far: Array) -> Array:
+    """Cross-view photometric/geometric consistency features
+    (get_diff_feats, depth_fusion.py:167-207).
+
+    For every view v: backproject its depth map, project the points into every
+    view u, sample (rgb, depth) there, and accumulate masked mean/variance of
+    |rgb_u - rgb_v| and normalized inverse-depth disagreement.
+
+    Returns [V, H, W, 8] = rgb_mean(3) + rgb_var(3) + dpt_mean(1) + dpt_var(1).
+    """
+    V, H, W = d_norm.shape
+    depth = from_inverse_normalized_depth(jnp.clip(d_norm, 0.0, 1.0), near, far)
+
+    pts = jax.vmap(lambda d, K, T: backproject_depth(d, K, T)[0])(depth, Ks, c2ws)
+    pts_flat = pts.reshape(V * H * W, 3)
+    rgb_self = images.reshape(1, V * H * W, 3)
+
+    inv_range = 1.0 / ((-1.0 / far) - (-1.0 / near))
+
+    def source_view(img_u, depth_u, K_u, T_u):
+        cam = world_to_camera(T_u, pts_flat)
+        u, v, z = camera_project(cam, K_u)
+        uv = jnp.stack([u, v], axis=-1)
+        valid = (jnp.abs(z) >= 1e-4) & (u >= -0.5) & (u < W - 0.5) & \
+                (v >= -0.5) & (v < H - 0.5)
+        rgb_s = bilinear_sample(img_u, uv)  # border padding, align_corners=True
+        dpt_s = bilinear_sample(depth_u[..., None], uv)[..., 0]
+        rgb_diff = jnp.abs(rgb_s - rgb_self[0])
+        dpt_diff = jnp.abs(-1.0 / jnp.clip(dpt_s, 1e-5) + 1.0 / jnp.clip(z, 1e-5))
+        dpt_diff = jnp.clip(jnp.abs(dpt_diff * inv_range), max=1.5)
+        return rgb_diff, dpt_diff, valid.astype(images.dtype)
+
+    rgb_diff, dpt_diff, valid = jax.vmap(source_view)(images, depth, Ks, c2ws)
+    # masked mean/var over the source-view axis (depth_fusion.py:200-205)
+    wsum = jnp.clip(jnp.sum(valid, axis=0), 1e-4)
+    rgb_mean = jnp.sum(rgb_diff * valid[..., None], axis=0) / wsum[..., None]
+    rgb_var = jnp.sum((rgb_diff - rgb_mean) ** 2 * valid[..., None], axis=0) / wsum[..., None]
+    dpt_mean = jnp.sum(dpt_diff * valid, axis=0) / wsum
+    dpt_var = jnp.sum((dpt_diff - dpt_mean) ** 2 * valid, axis=0) / wsum
+
+    out = jnp.concatenate(
+        [rgb_mean, rgb_var, dpt_mean[..., None], dpt_var[..., None]], axis=-1)
+    return out.reshape(V, H, W, 8)
+
+
+class _DecoderMLP(nn.Module):
+    out: int
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: Array) -> Array:
+        x = nn.elu(nn.Dense(32, dtype=self.dtype, name="fc1")(x))
+        x = nn.elu(nn.Dense(32, dtype=self.dtype, name="fc2")(x))
+        return nn.Dense(self.out, dtype=self.dtype, name="fc3")(x)
+
+
+class MixtureLogisticsDistDecoder(nn.Module):
+    """Decode 32-d ray feats -> (mean[2], var[2], vis[1], aw[1])
+    (visibility_decoder.py:53-107). var has +0.05 bias after softplus."""
+    bias_val: float = 0.05
+    dtype: Any = jnp.float32
+
+    def setup(self):
+        self.mean_decoder = _DecoderMLP(2, dtype=self.dtype)
+        self.var_decoder = _DecoderMLP(2, dtype=self.dtype)
+        self.vis_decoder = _DecoderMLP(1, dtype=self.dtype)
+        self.aw_decoder = _DecoderMLP(1, dtype=self.dtype)
+
+    def __call__(self, feats: Array):
+        mean = jax.nn.softplus(self.mean_decoder(feats))
+        var = jax.nn.softplus(self.var_decoder(feats)) + self.bias_val
+        vis = jax.nn.sigmoid(self.vis_decoder(feats))
+        aw = jax.nn.sigmoid(self.aw_decoder(feats))
+        return mean, var, vis, aw
+
+    def predict_mean(self, feats: Array) -> Array:
+        return jax.nn.softplus(self.mean_decoder(feats))
+
+
+def decode_ref_depths(mean: Array, near: Array, far: Array) -> Array:
+    """First mixture mean -> metric depth (visibility_decoder.py:140-148)."""
+    return from_inverse_normalized_depth(mean[..., 0], near, far)
+
+
+def compute_visibility(depth: Array, mean: Array, var: Array, vis: Array,
+                       aw: Array, near: Array, far: Array) -> Array:
+    """P(surface beyond `depth`) per view (visibility_decoder.py:109-138).
+
+    depth [..., 1] metric; mean/var [..., 2]; vis/aw [..., 1].
+    Returns [...] visibility in [0, 1].
+    """
+    d = inverse_normalize_unclamped(depth, near, far)
+    mix = jnp.concatenate([aw, 1.0 - aw], axis=-1)
+    cdf0 = 0.5 + 0.5 * jnp.tanh((d - mean) * var)
+    cdf0 = cdf0 * vis
+    return jnp.sum((1.0 - cdf0) * mix, axis=-1)
+
+
+def compute_alpha_prob(depth: Array, interval: Array, mean: Array, var: Array,
+                       vis: Array, aw: Array, near: Array, far: Array,
+                       eps: float = 1e-5):
+    """Alpha logit + visibility + hit prob along query rays
+    (compute_prob with is_ref=True, visibility_decoder.py:150-181 and
+    get_near_far_points :6-51 with is_ref=True).
+
+    depth: [..., dn] metric projected depths; interval: [..., dn] inverse-
+    normalized sample intervals (broadcastable); mean/var [..., dn, 2];
+    vis/aw [..., dn, 1].
+    """
+    d = inverse_normalize_unclamped(jnp.clip(depth, 1e-5), near, far)
+    half = interval / 2.0
+    half_ext = jnp.concatenate([half[..., :1], half], axis=-1)
+    near_b = d - half_ext[..., :-1]
+    far_b = d + half_ext[..., 1:]
+
+    mix = jnp.concatenate([aw, 1.0 - aw], axis=-1)
+    d0 = (near_b[..., None] - mean) * var
+    d1 = (far_b[..., None] - mean) * var
+    cdf0 = (0.5 + 0.5 * jnp.tanh(d0)) * vis
+    cdf1 = (0.5 + 0.5 * jnp.tanh(d1)) * vis
+    visibility = jnp.sum((1.0 - cdf0) * mix, axis=-1)
+    hit_prob = jnp.sum((cdf1 - cdf0) * mix, axis=-1)
+    alpha_logit = jnp.log(hit_prob / (visibility - hit_prob + eps) + eps)
+    return alpha_logit, visibility, hit_prob

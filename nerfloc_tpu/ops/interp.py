@@ -30,15 +30,23 @@ def bilinear_sample(feat: Array, uv: Array, *, padding_mode: str = "border") -> 
     H, W, C = feat.shape
     u, v = uv[..., 0], uv[..., 1]
 
+    if padding_mode == "border":
+        # torch clamps the *coordinate* to the border before interpolating
+        # (grid_sampler clip_coordinates), not just the gather indices.
+        u = jnp.clip(u, 0.0, W - 1)
+        v = jnp.clip(v, 0.0, H - 1)
+
     u0 = jnp.floor(u)
     v0 = jnp.floor(v)
     du = u - u0
     dv = v - v0
 
-    u0i = jnp.clip(u0.astype(jnp.int32), 0, W - 1)
-    u1i = jnp.clip(u0i + 1, 0, W - 1)
-    v0i = jnp.clip(v0.astype(jnp.int32), 0, H - 1)
-    v1i = jnp.clip(v0i + 1, 0, H - 1)
+    u0f = u0.astype(jnp.int32)
+    v0f = v0.astype(jnp.int32)
+    u0i = jnp.clip(u0f, 0, W - 1)
+    u1i = jnp.clip(u0f + 1, 0, W - 1)
+    v0i = jnp.clip(v0f, 0, H - 1)
+    v1i = jnp.clip(v0f + 1, 0, H - 1)
 
     flat = feat.reshape(H * W, C)
 
@@ -50,16 +58,25 @@ def bilinear_sample(feat: Array, uv: Array, *, padding_mode: str = "border") -> 
     f10 = g(v1i, u0i)
     f11 = g(v1i, u1i)
 
-    w00 = ((1 - du) * (1 - dv))[..., None]
-    w01 = (du * (1 - dv))[..., None]
-    w10 = ((1 - du) * dv)[..., None]
-    w11 = (du * dv)[..., None]
+    w00 = (1 - du) * (1 - dv)
+    w01 = du * (1 - dv)
+    w10 = (1 - du) * dv
+    w11 = du * dv
 
-    out = f00 * w00 + f01 * w01 + f10 * w10 + f11 * w11
     if padding_mode == "zeros":
-        inside = (u >= 0) & (u <= W - 1) & (v >= 0) & (v <= H - 1)
-        out = out * inside[..., None].astype(out.dtype)
-    return out
+        # torch zeros each out-of-bounds *corner* individually, so samples
+        # straddling the border still blend the inside corners.
+        def inb(vi, ui):
+            return ((ui >= 0) & (ui <= W - 1) & (vi >= 0) & (vi <= H - 1)
+                    ).astype(feat.dtype)
+
+        w00 = w00 * inb(v0f, u0f)
+        w01 = w01 * inb(v0f, u0f + 1)
+        w10 = w10 * inb(v0f + 1, u0f)
+        w11 = w11 * inb(v0f + 1, u0f + 1)
+
+    return (f00 * w00[..., None] + f01 * w01[..., None]
+            + f10 * w10[..., None] + f11 * w11[..., None])
 
 
 def bilinear_sample_views(feats: Array, uv: Array, *, padding_mode: str = "border") -> Array:

@@ -1,0 +1,75 @@
+"""On-device PnP-RANSAC tests against synthetic ground truth."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from nerfloc_tpu.geometry.se3 import compute_pose_error, so3_exp_map
+from nerfloc_tpu.solve import ransac_pnp
+
+
+def make_scene(n=256, outlier_frac=0.0, noise_px=0.0, seed=0):
+    rng = np.random.default_rng(seed)
+    K = np.array([[500.0, 0, 320], [0, 500.0, 240], [0, 0, 1]], dtype=np.float32)
+    R = np.asarray(so3_exp_map(jnp.asarray(rng.standard_normal(3) * 0.3, dtype=jnp.float32)))
+    t = rng.standard_normal(3).astype(np.float32) * 0.5
+    w2c = np.eye(4, dtype=np.float32)
+    w2c[:3, :3] = R
+    w2c[:3, 3] = t
+
+    pts_cam = np.stack([
+        rng.uniform(-1, 1, n), rng.uniform(-0.8, 0.8, n), rng.uniform(2.0, 6.0, n)
+    ], -1).astype(np.float32)
+    pts_w = (pts_cam - t) @ R  # R^T (p - t)
+    uv = pts_cam @ K.T
+    uv = uv[:, :2] / uv[:, 2:3]
+    uv += rng.standard_normal(uv.shape) * noise_px
+
+    n_out = int(n * outlier_frac)
+    if n_out:
+        idx = rng.choice(n, n_out, replace=False)
+        uv[idx] = rng.uniform([0, 0], [640, 480], size=(n_out, 2))
+    c2w = np.linalg.inv(w2c)
+    return (jnp.asarray(uv.astype(np.float32)), jnp.asarray(pts_w), jnp.asarray(K),
+            jnp.asarray(c2w))
+
+
+def test_pnp_clean():
+    uv, pts_w, K, c2w_gt = make_scene()
+    mask = jnp.ones(uv.shape[0], dtype=bool)
+    res = ransac_pnp(uv, pts_w, mask, K, jax.random.PRNGKey(0), n_hyps=128)
+    assert bool(res.success)
+    rot, trans = compute_pose_error(res.c2w, c2w_gt)
+    assert float(rot) < 0.1 and float(trans) < 0.005
+    assert int(res.num_inliers) > 250
+
+
+def test_pnp_outliers_and_noise():
+    uv, pts_w, K, c2w_gt = make_scene(outlier_frac=0.4, noise_px=1.0, seed=1)
+    mask = jnp.ones(uv.shape[0], dtype=bool)
+    res = ransac_pnp(uv, pts_w, mask, K, jax.random.PRNGKey(1), n_hyps=512)
+    assert bool(res.success)
+    rot, trans = compute_pose_error(res.c2w, c2w_gt)
+    assert float(rot) < 0.5 and float(trans) < 0.05
+
+
+def test_pnp_respects_mask():
+    uv, pts_w, K, c2w_gt = make_scene(seed=2)
+    # corrupt half the points but mark them invalid
+    n = uv.shape[0]
+    uv = uv.at[: n // 2].set(jnp.asarray(np.random.default_rng(3).uniform(0, 640, (n // 2, 2)),
+                                         dtype=uv.dtype))
+    mask = jnp.arange(n) >= n // 2
+    res = ransac_pnp(uv, pts_w, mask, K, jax.random.PRNGKey(2), n_hyps=256)
+    assert bool(res.success)
+    rot, trans = compute_pose_error(res.c2w, c2w_gt)
+    assert float(rot) < 0.2 and float(trans) < 0.01
+    # inliers only among masked-valid points
+    assert not bool(res.inliers[: n // 2].any())
+
+
+def test_pnp_jits_and_is_deterministic():
+    uv, pts_w, K, c2w_gt = make_scene(seed=4)
+    mask = jnp.ones(uv.shape[0], dtype=bool)
+    r1 = ransac_pnp(uv, pts_w, mask, K, jax.random.PRNGKey(7), n_hyps=64)
+    r2 = ransac_pnp(uv, pts_w, mask, K, jax.random.PRNGKey(7), n_hyps=64)
+    np.testing.assert_allclose(np.asarray(r1.c2w), np.asarray(r2.c2w))

@@ -1,0 +1,110 @@
+"""SPMD train/eval step over the virtual 8-device CPU mesh + checkpoint utils.
+
+Covers the pmap/pjit paths the reference exercises only via full DDP runs
+(SURVEY.md §4: no fake backend in the reference; here we simulate devices).
+"""
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from nerfloc_tpu.configs import Config, MatchingConfig, RenderConfig
+from nerfloc_tpu.data import device_batch, make_query_batch, stack_batches
+from nerfloc_tpu.models.pose_estimator import NerfPoseEstimator
+from nerfloc_tpu.parallel.mesh import MeshSpec, make_mesh, shard_batch
+from nerfloc_tpu.train import create_train_state, make_train_step, make_eval_step
+from nerfloc_tpu.train.checkpoint import partial_restore
+from nerfloc_tpu.utils.metrics import aggregate_per_scene, matching_iou
+
+
+def tiny_cfg():
+    return Config(
+        backbone2d_fpn_dim=16,
+        model_3d_hidden_dim=16,
+        matcher_hidden_dim=24,
+        n_views_train=2,
+        render=RenderConfig(N_samples=4, N_rand=8, use_render_uncertainty=True),
+        matching=MatchingConfig(fine_num_3d_keypoints=16,
+                                coarse_num_3d_keypoints=16),
+        shapes=dataclasses.replace(Config().shapes, pnp_hypotheses=32),
+    )
+
+
+@pytest.fixture(scope="module")
+def setup():
+    cfg = tiny_cfg()
+    model = NerfPoseEstimator(cfg)
+    items = [device_batch(make_query_batch(n_views=2, H=32, W=32, seed=i))
+             for i in range(2)]
+    host_batch = stack_batches(items)
+    rng = jax.random.PRNGKey(0)
+    init_batch = {k: jnp.asarray(v[0]) for k, v in host_batch.items()}
+    params = model.init(rng, init_batch, rng)
+    return cfg, model, params, host_batch
+
+
+def test_train_step_2dev_mesh(setup):
+    cfg, model, params, host_batch = setup
+    mesh = make_mesh(MeshSpec(data=2, ray=1))
+    with mesh:
+        # own copy: train_step donates the state, which would delete the
+        # module-scoped params fixture shared with the eval test
+        state = create_train_state(jax.tree.map(jnp.copy, params), cfg)
+        batch = shard_batch(host_batch, mesh)
+        step = make_train_step(model, cfg, mesh)
+        state, metrics = step(state, batch, jax.random.PRNGKey(1))
+        loss0 = float(metrics["loss"])
+        state, metrics = step(state, batch, jax.random.PRNGKey(2))
+    assert np.isfinite(loss0)
+    assert np.isfinite(float(metrics["loss"]))
+    assert int(state.step) == 2
+    assert np.isfinite(float(metrics["grad_norm"]))
+    assert "matching_iou" in metrics
+
+
+def test_eval_step_runs_pnp(setup):
+    cfg, model, params, host_batch = setup
+    mesh = make_mesh(MeshSpec(data=2, ray=1))
+    with mesh:
+        batch = shard_batch(host_batch, mesh)
+        ev = make_eval_step(model, cfg, mesh)
+        out = ev(params, batch, jax.random.PRNGKey(3))
+    assert out["rot_err_deg"].shape == (2,)
+    assert np.isfinite(np.asarray(out["rot_err_deg"])).all()
+    assert np.isfinite(np.asarray(out["trans_err_m"])).all()
+    assert out["pose_pred"].shape == (2, 4, 4)
+
+
+def test_partial_restore_shape_matching():
+    p = {"a": {"w": jnp.zeros((3, 3)), "b": jnp.zeros((4,))},
+         "new_head": {"w": jnp.ones((2, 2))}}
+    r = {"a": {"w": jnp.full((3, 3), 7.0), "b": jnp.zeros((9,))}}
+    out = partial_restore(p, r)
+    np.testing.assert_allclose(np.asarray(out["a"]["w"]), 7.0)   # loaded
+    assert out["a"]["b"].shape == (4,)                            # shape kept
+    np.testing.assert_allclose(np.asarray(out["new_head"]["w"]), 1.0)  # fresh
+
+
+def test_matching_iou_exact():
+    match_j = jnp.array([3, 5, 7, 9])
+    match_mask = jnp.array([True, True, False, True])
+    j_gt = jnp.array([3, 6, 7, 9])
+    gt_mask = jnp.array([True, True, True, True])
+    # intersection: idx0 (3==3), idx3 (9==9) -> 2 ; union: idx0..3 -> 4
+    iou = float(matching_iou(match_j, match_mask, j_gt, gt_mask))
+    assert abs(iou - 0.5) < 1e-6
+
+
+def test_aggregate_per_scene_cambridge_thresholds():
+    scene_ids = np.array([0, 0, 1, 1])
+    rot = np.array([1.0, 1.0, 1.0, 10.0])
+    trans = np.array([0.3, 0.4, 0.1, 0.1])
+    names = {0: "StMarysChurch", 1: "ShopFacade"}
+    out = aggregate_per_scene(scene_ids, rot, trans, names,
+                              dataset_type="video_cambridge")
+    # StMarys thresh 0.35 -> one of two passes; ShopFacade 0.15 -> one passes
+    assert abs(out["StMarysChurch"]["pose_acc"] - 0.5) < 1e-6
+    assert abs(out["ShopFacade"]["pose_acc"] - 0.5) < 1e-6
+    assert out["avg"]["n"] == 4
