@@ -78,6 +78,10 @@ class MultiviewFeatureAggregator(nn.Module):
         Returns (vis [V, N], depth_diff [V, N]).
         """
         ray_feats, prj_depth, valid = self._sample_ray_feats(sv, xyz)
+        return self._decode_visibility(sv, ray_feats, prj_depth, valid)
+
+    def _decode_visibility(self, sv: SupportViews, ray_feats: Array,
+                           prj_depth: Array, valid: Array):
         mean, var, vis_d, aw = self.dist_decoder(ray_feats)
         ref_depths = neuray.decode_ref_depths(mean, sv.near, sv.far)
         depth_diff = jnp.abs(prj_depth - ref_depths) / (sv.far - sv.near)
@@ -92,10 +96,38 @@ class MultiviewFeatureAggregator(nn.Module):
         Args: featmaps [V, h, w, C] (backbone features); xyz [N, 3].
         Returns: (out [N, out_channels], rgb_feat [N, V, 3+C], vis [N, V, 1]).
         """
-        rgb, feat, mask = project_and_sample(xyz, sv.Ks, sv.poses, sv.images, featmaps)
-        rgb_feat = jnp.concatenate([rgb, feat], axis=-1)  # [N, V, 3+C]
+        V, H, W = sv.images.shape[:3]
+        C = featmaps.shape[-1]
+        if featmaps.shape[1:3] == sv.vis_featmaps.shape[1:3]:
+            # gathers are latency-bound per op, not per channel: when the
+            # backbone level shares the visibility featmaps' resolution
+            # (stride-4 'fine' level — the render hot path), sample both in
+            # ONE fused pass and split, saving a full multi-view gather pass.
+            proj = compute_projections(xyz, sv.Ks, sv.poses, H, W)
+            rgb = jax.vmap(lambda img, uv: bilinear_sample(img, uv))(
+                sv.images, proj.uv)
+            h, w = featmaps.shape[1], featmaps.shape[2]
+            scale = jnp.array([(w - 1.0) / (W - 1.0), (h - 1.0) / (H - 1.0)],
+                              dtype=xyz.dtype)
+            fused_maps = jnp.concatenate([featmaps, sv.vis_featmaps], axis=-1)
+            fused = jax.vmap(lambda fm, uv: bilinear_sample(fm, uv))(
+                fused_maps, proj.uv * scale)
+            feat, ray_feats = fused[..., :C], fused[..., C:]
 
-        vis, depth_diff = self.predict_visibility(sv, xyz)
+            u, v = proj.uv[..., 0], proj.uv[..., 1]
+            rf_valid = (jnp.abs(proj.depth) >= 1e-4) & (u >= -0.5) & \
+                (u < W - 0.5) & (v >= -0.5) & (v < H - 0.5)
+            ray_feats = ray_feats * rf_valid[..., None].astype(ray_feats.dtype)
+            vis, depth_diff = self._decode_visibility(
+                sv, ray_feats, proj.depth, rf_valid)
+            rgb = rgb.transpose(1, 0, 2)
+            feat = feat.transpose(1, 0, 2)
+        else:
+            rgb, feat, _ = project_and_sample(xyz, sv.Ks, sv.poses, sv.images,
+                                              featmaps)
+            vis, depth_diff = self.predict_visibility(sv, xyz)
+
+        rgb_feat = jnp.concatenate([rgb, feat], axis=-1)  # [N, V, 3+C]
         vis = vis.T[..., None]           # [N, V, 1]
         depth_diff = depth_diff.T[..., None]
 
