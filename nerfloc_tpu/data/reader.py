@@ -92,5 +92,16 @@ def load_frame(base_dir: str, meta: Dict) -> Tuple[np.ndarray, np.ndarray,
     else:
         depth = np.zeros((H, W), dtype=np.float32)
     Tcw = np.asarray(meta["extrinsic_Tcw"], dtype=np.float64)[:3]
-    K = np.asarray(meta["camera_intrinsic"], dtype=np.float64)
+    K = intrinsic_to_K(meta["camera_intrinsic"])
     return img, depth.astype(np.float32), Tcw, K
+
+
+def intrinsic_to_K(intr) -> np.ndarray:
+    """Accept both encodings: a 3x3 matrix, or the reference preprocessors'
+    [fx, fy, cx, cy, ...] parameter vector (reference reader.py:238-247)."""
+    intr = np.asarray(intr, dtype=np.float64)
+    if intr.ndim == 2:
+        return intr
+    K = np.eye(3)
+    K[0, 0], K[1, 1], K[0, 2], K[1, 2] = intr[0], intr[1], intr[2], intr[3]
+    return K

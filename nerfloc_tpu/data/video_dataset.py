@@ -23,7 +23,7 @@ from typing import Dict, List, Optional, Sequence
 
 import numpy as np
 
-from .reader import load_frame
+from .reader import intrinsic_to_K, load_frame
 from .samplers import CovisibilitySampler, fps_poses
 from .scene_store import SceneStore, _tcw44
 from .transforms import Compose, build_transforms
@@ -111,7 +111,7 @@ class VideoDataset:
         if self.opts.coreset_sampler == "covisibility" and \
                 self.store.points is not None:
             w2cs = np.stack([_tcw44(f["extrinsic_Tcw"]) for f in frames])
-            Ks = np.stack([np.asarray(f["camera_intrinsic"], np.float64)
+            Ks = np.stack([intrinsic_to_K(f["camera_intrinsic"])
                            for f in frames])
             sampler = CovisibilitySampler(self.store.points, w2cs, Ks, rng=rng)
             idx = sampler.sample(k)
@@ -195,8 +195,8 @@ class VideoDataset:
         if store.bboxes_3d is not None and store.points is not None:
             Tcw = _tcw44(meta["extrinsic_Tcw"])
             img_probe, depth_probe, _, K0 = load_frame(store.base_dir, meta)
-            tmask = compute_target_mask(store.points, np.asarray(
-                meta["camera_intrinsic"], np.float64), Tcw,
+            tmask = compute_target_mask(
+                store.points, intrinsic_to_K(meta["camera_intrinsic"]), Tcw,
                 depth_probe.shape).astype(np.uint8)
 
         img, depth, Tcw, K, tmask = self._load_transformed(meta, aug_params,
