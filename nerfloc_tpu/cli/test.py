@@ -71,11 +71,65 @@ def main():
     with mesh:
         results = eval_dataset(test_ds, eval_step, params, mesh, batch_size,
                                rng, scene_names, cfg)
+
+    if cfg.vis_rendering:
+        results["render"] = render_eval(model, params, cfg, test_ds,
+                                        out_dir=os.path.dirname(args.out)
+                                        if args.out else "renders")
     print(json.dumps(results, indent=2))
     if args.out:
         os.makedirs(os.path.dirname(args.out) or ".", exist_ok=True)
         with open(args.out, "w") as f:
             json.dump({"per_scene": results}, f)
+
+
+def render_eval(model, params, cfg, test_ds, out_dir: str = "renders"):
+    """Render every `test_render_interval`-th test view, report PSNR, dump
+    PNGs (reference test-time rendering, nerf_pose_estimator.py:372-391 +
+    pl/model.py:123-164 TB panels)."""
+    import jax
+    import jax.numpy as jnp
+
+    from ..data import device_batch
+    from ..models.fields.losses import img2mse, mse2psnr
+    from ..utils.common import colorize_depth
+
+    os.makedirs(out_dir, exist_ok=True)
+
+    @jax.jit
+    def render_one(params, batch):
+        def f(m):
+            ctx, _ = m.build_context(batch)
+            H, W = batch["image"].shape[0], batch["image"].shape[1]
+            return m.model_3d.render_image(ctx, batch["K"], batch["pose"],
+                                           H, W)
+        return model.apply(params, method=f)
+
+    psnrs = []
+    for i in range(0, len(test_ds), max(cfg.test_render_interval, 1)):
+        item = test_ds[i]
+        batch = {k: jnp.asarray(v) for k, v in device_batch(item).items()}
+        out = render_one(params, batch)
+        mask = out["mask"]
+        psnr = float(mse2psnr(img2mse(out["rgb"], batch["image"],
+                                      mask=mask)))
+        psnrs.append(psnr)
+        try:
+            import cv2
+
+            rgb = np.clip(np.asarray(out["rgb"]) * 255, 0, 255).astype(np.uint8)
+            cv2.imwrite(os.path.join(out_dir, f"render_{i:05d}.png"),
+                        cv2.cvtColor(rgb, cv2.COLOR_RGB2BGR))
+            depth_vis = colorize_depth(np.asarray(out["depth"]),
+                                       np.asarray(mask))
+            cv2.imwrite(os.path.join(out_dir, f"depth_{i:05d}.png"),
+                        cv2.cvtColor((depth_vis * 255).astype(np.uint8),
+                                     cv2.COLOR_RGB2BGR))
+        except Exception as e:  # vis failures don't fail the eval
+            print(f"render dump failed: {e}")
+        print(f"render {i}: psnr={psnr:.2f}")
+    return {"psnr_mean": float(np.mean(psnrs)) if psnrs else None,
+            "n_rendered": len(psnrs)}
 
 
 if __name__ == "__main__":

@@ -406,6 +406,30 @@ class ConditionalNeRF(nn.Module):
 
         return outputs
 
+    def render_image(self, ctx: SceneContext, K: Array, pose: Array,
+                     H: int, W: int) -> Dict[str, Array]:
+        """Full-frame render in ray chunks (reference render_image,
+        model.py:602-639: serial python chunk loop -> one lax.map)."""
+        rays_o, rays_d = get_rays(H, W, K, pose)
+        flat_o = rays_o.reshape(-1, 3)
+        flat_d = rays_d.reshape(-1, 3)
+        chunk = self.cfg.render.chunk
+        n = flat_o.shape[0]
+        pad = (-n) % chunk
+        if pad:
+            flat_o = jnp.concatenate([flat_o, flat_o[:pad]], axis=0)
+            flat_d = jnp.concatenate([flat_d, flat_d[:pad]], axis=0)
+        o_c = flat_o.reshape(-1, chunk, 3)
+        d_c = flat_d.reshape(-1, chunk, 3)
+        outs = jax.lax.map(
+            lambda od: self.render_rays(ctx, od[0], od[1], pose, train=False),
+            (o_c, d_c))
+        out = {}
+        for k, v in outs.items():
+            flat = v.reshape((-1,) + v.shape[2:])[:n]
+            out[k] = flat.reshape((H, W) + flat.shape[1:])
+        return out
+
     def query_rgb(self, ctx: SceneContext, xyz: Array) -> Array:
         """Mask-averaged support RGB at points (model.py:438-449)."""
         from .projector import project_and_sample

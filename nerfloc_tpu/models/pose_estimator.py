@@ -46,6 +46,16 @@ from .transformer import SelfCrossTransformer
 Array = jax.Array
 
 
+def select_visible_mask(pts3d: Array, pose_c2w: Array, K: Array,
+                        H: int, W: int) -> Array:
+    """[N] bool: keypoints that project inside the frame from a pose
+    (static-mask form of select_3d_keypoints, reference
+    nerf_pose_estimator.py:178-190)."""
+    pts_cam = world_to_camera(pose_c2w, pts3d)
+    u, v, z = camera_project(pts_cam, K)
+    return (u >= 0) & (v >= 0) & (u < W) & (v < H) & (z > 0)
+
+
 class NerfPoseEstimator(nn.Module):
     cfg: Config
     dtype: Any = jnp.float32
@@ -67,7 +77,27 @@ class NerfPoseEstimator(nn.Module):
             d_model=hd, nhead=8, dim_feedforward=128, dtype=self.dtype)
         self.fine_matcher = FineMatching(dtype=self.dtype)
 
-        self.model_3d = ConditionalNeRF(cfg, dtype=self.dtype)
+        if cfg.cascade_matching:
+            # second matcher for the cascade pass over pose-visible keypoints
+            # (reference self.matcher_fine, nerf_pose_estimator.py:330-349)
+            self.coarse_transformer2 = SelfCrossTransformer(
+                d_model=hd, nhead=8, dim_feedforward=512, dtype=self.dtype)
+            self.coarse_matcher2 = S2DMatching(thr=cfg.matching.thr,
+                                               dtype=self.dtype)
+            self.fine_preprocess2 = FinePreprocess(out_channels=hd,
+                                                   dtype=self.dtype)
+            self.fine_transformer2 = SelfCrossTransformer(
+                d_model=hd, nhead=8, dim_feedforward=128, dtype=self.dtype)
+            self.fine_matcher2 = FineMatching(dtype=self.dtype)
+
+        if cfg.simple_3d_model:
+            # ablation: projection-average conditioning (reference
+            # model_simple.py, selected by args.simple_3d_model)
+            from .fields.conditional_nerf_simple import ConditionalNeRFSimple
+
+            self.model_3d = ConditionalNeRFSimple(cfg, dtype=self.dtype)
+        else:
+            self.model_3d = ConditionalNeRF(cfg, dtype=self.dtype)
 
         if cfg.encode_appearance:
             self.adapt_appearance_coarse = AppearanceAdaptLayer(
@@ -164,11 +194,29 @@ class NerfPoseEstimator(nn.Module):
               batch: Dict[str, Array], desc_3d: Array, pts3d: Array,
               pts3d_ndc: Array, train: bool,
               j_gt: Optional[Array] = None, gt_mask: Optional[Array] = None,
-              proj_gt_coarse: Optional[Array] = None) -> Dict[str, Array]:
+              proj_gt_coarse: Optional[Array] = None,
+              kp_mask: Optional[Array] = None,
+              second: bool = False) -> Dict[str, Array]:
+        """One coarse->fine matching pass.
+
+        kp_mask: optional [N] bool — keypoints excluded from matching (the
+        cascade pass masks pose-invisible points instead of the reference's
+        dynamic index_select, nerf_pose_estimator.py:335-344).
+        second: use the cascade matcher's parameters.
+        """
         cfg = self.cfg
         H, W = batch["image"].shape[0], batch["image"].shape[1]
         sc, sf = q2d["stride_coarse"], q2d["stride_fine"]
         hc, wc = H // sc, W // sc
+
+        if second:
+            coarse_tf, coarse_m = self.coarse_transformer2, self.coarse_matcher2
+            fine_pre, fine_tf = self.fine_preprocess2, self.fine_transformer2
+            fine_m = self.fine_matcher2
+        else:
+            coarse_tf, coarse_m = self.coarse_transformer, self.coarse_matcher
+            fine_pre, fine_tf = self.fine_preprocess, self.fine_transformer
+            fine_m = self.fine_matcher
 
         feat_coarse = q2d["feat_coarse"][0]           # [hc, wc, C]
         desc_2d = self.proj_layer_2d(feat_coarse.reshape(hc * wc, -1))
@@ -176,11 +224,15 @@ class NerfPoseEstimator(nn.Module):
                                          dtype=desc_2d.dtype).reshape(hc * wc, -1)
         pos_3d = self.pos_emd_3d(pts3d_ndc)
 
-        d3, d2 = self.coarse_transformer(desc_3d[None], pos_3d[None],
-                                         desc_2d[None], pos_2d[None])
-        conf = self.coarse_matcher(d3[0], d2[0])      # [N, M] logits
+        d3, d2 = coarse_tf(desc_3d[None], pos_3d[None],
+                           desc_2d[None], pos_2d[None])
+        conf = coarse_m(d3[0], d2[0])                 # [N, M] logits
+        if kp_mask is not None:
+            conf = jnp.where(kp_mask[:, None], conf, -1e9)
         scores = jax.nn.sigmoid(conf)
         match_j, match_mask = mutual_nearest_matches(scores, cfg.matching.thr)
+        if kp_mask is not None:
+            match_mask = match_mask & kp_mask
 
         out: Dict[str, Array] = {
             "score_matrix": scores,
@@ -206,14 +258,14 @@ class NerfPoseEstimator(nn.Module):
         desc_3d_fine = self.model_3d.query_fine(ctx, pts3d)
         feat_fine = q2d["feat_fine"][0]               # [hf, wf, Cf]
         patches, _ = gather_windows(feat_fine, centers, wsz)
-        patches = self.fine_preprocess(patches)       # [N, ww, hd]
+        patches = fine_pre(patches)                   # [N, ww, hd]
 
         pos_win = position_embedding_sine(wsz, wsz, cfg.matcher_hidden_dim // 2,
                                           dtype=patches.dtype).reshape(1, wsz * wsz, -1)
         pos_win = jnp.broadcast_to(pos_win, patches.shape[:1] + pos_win.shape[1:])
-        f3, f2 = self.fine_transformer(
+        f3, f2 = fine_tf(
             desc_3d_fine[:, None, :], pos_3d[:, None, :], patches, pos_win)
-        expec_f = self.fine_matcher(f3[:, 0, :], f2)  # [N, 3]
+        expec_f = fine_m(f3[:, 0, :], f2)             # [N, 3]
 
         mkps2d_c = centers.astype(expec_f.dtype)
         mkps2d_f = mkps2d_c + expec_f[:, :2] * (wsz // 2)  # fine-scale px
@@ -225,6 +277,8 @@ class NerfPoseEstimator(nn.Module):
         })
 
         if train:
+            if kp_mask is not None:
+                gt_mask = gt_mask & kp_mask
             conf_gt = jnp.zeros_like(conf)
             rows = jnp.arange(conf.shape[0])
             conf_gt = conf_gt.at[rows, j_gt].set(gt_mask.astype(conf.dtype))
@@ -286,6 +340,19 @@ class NerfPoseEstimator(nn.Module):
             loss = loss + cfg.coarse_loss_weight * m["coarse_loss"] \
                         + cfg.fine_loss_weight * m["fine_loss"]
 
+            if cfg.cascade_matching:
+                # train the cascade matcher on GT-pose-visible keypoints
+                # (reference uses T_init=GT in training, :332-336)
+                vis = select_visible_mask(pts3d, batch["pose"], batch["K"],
+                                          H, W)
+                m2 = self.match(ctx, q2d, batch, desc_3d, pts3d, pts3d_ndc,
+                                True, j_gt, gt_mask, proj_gt, kp_mask=vis,
+                                second=True)
+                outputs["coarse_loss2"] = m2["coarse_loss"]
+                outputs["fine_loss2"] = m2["fine_loss"]
+                loss = loss + cfg.coarse_loss_weight * m2["coarse_loss"] \
+                            + cfg.fine_loss_weight * m2["fine_loss"]
+
         # reference depth supervision (reference :351-362)
         depths_gt = batch.get("topk_depths_gt", batch["topk_depths"])
         ref_depth_loss = self.model_3d.multiview_aggregator.ref_depth_loss(
@@ -340,10 +407,7 @@ class NerfPoseEstimator(nn.Module):
     def localize_forward(self, batch: Dict[str, Array], rng: Array) -> Dict[str, Array]:
         """Eval path: match only; PnP runs outside on the returned
         correspondences (so this stays a pure function of (params, batch))."""
-        cfg = self.cfg
-        ctx, q2d = self.build_context(batch)
-        desc_3d, pts3d, pts3d_ndc = self._keypoints(ctx, batch, rng)
-        m = self.match(ctx, q2d, batch, desc_3d, pts3d, pts3d_ndc, False)
+        ctx, q2d, desc_3d, pts3d, pts3d_ndc, m = self.localize_parts(batch, rng)
         return {
             "mkps2d": m["mkps2d_f"],
             "mkps3d": m["mkps3d"],
@@ -351,6 +415,25 @@ class NerfPoseEstimator(nn.Module):
             "match_j": m["match_j"],
             "score_matrix": m["score_matrix"],
         }
+
+    def localize_parts(self, batch: Dict[str, Array], rng: Array):
+        """First localization pass + everything the eval orchestrator needs
+        for the cascade / refinement passes (context is a pytree, so it can
+        cross the apply boundary)."""
+        ctx, q2d = self.build_context(batch)
+        desc_3d, pts3d, pts3d_ndc = self._keypoints(ctx, batch, rng)
+        m = self.match(ctx, q2d, batch, desc_3d, pts3d, pts3d_ndc, False)
+        return ctx, q2d, desc_3d, pts3d, pts3d_ndc, m
+
+    def match_cascade(self, ctx: SceneContext, q2d: Dict[str, Array],
+                      batch: Dict[str, Array], desc_3d: Array, pts3d: Array,
+                      pts3d_ndc: Array, pose_init: Array) -> Dict[str, Array]:
+        """Second matching pass over keypoints visible from the initial pose
+        estimate (reference cascade, nerf_pose_estimator.py:330-349)."""
+        H, W = batch["image"].shape[0], batch["image"].shape[1]
+        vis = select_visible_mask(pts3d, pose_init, batch["K"], H, W)
+        return self.match(ctx, q2d, batch, desc_3d, pts3d, pts3d_ndc, False,
+                          kp_mask=vis, second=True)
 
     def render_image_rays(self, batch: Dict[str, Array], rays_o: Array,
                           rays_d: Array) -> Dict[str, Array]:

@@ -82,19 +82,56 @@ def make_eval_step(model, cfg: Config, mesh: Mesh) -> Callable:
     data = NamedSharding(mesh, P("data"))
 
     def one(params, b, r):
-        r_match, r_pnp = jax.random.split(r)
-        out = model.apply(params, b, r_match, method=model.localize_forward)
-        pnp = ransac_pnp(out["mkps2d"], out["mkps3d"],
-                         out["match_mask"], b["K"], r_pnp,
-                         thresh_px=cfg.ransac_thresh,
-                         n_hyps=cfg.shapes.pnp_hypotheses)
-        rot_err, trans_err = compute_pose_error(pnp.c2w, b["pose"])
+        r_match, r_pnp, r_pnp2, r_ref = jax.random.split(r, 4)
+
+        ctx, q2d, desc_3d, pts3d, pts3d_ndc, m = model.apply(
+            params, b, r_match, method=model.localize_parts)
+
+        def solve(mm, rr):
+            return ransac_pnp(mm["mkps2d_f"], mm["mkps3d"], mm["pair_mask"],
+                              b["K"], rr, thresh_px=cfg.ransac_thresh,
+                              n_hyps=cfg.shapes.pnp_hypotheses)
+
+        pnp = solve(m, r_pnp)
+        pose = pnp.c2w
+        num_inliers = pnp.num_inliers
+
+        if cfg.cascade_matching:
+            # re-match pose-visible keypoints with the cascade matcher
+            # (reference nerf_pose_estimator.py:330-349)
+            m2 = model.apply(params, ctx, q2d, b, desc_3d, pts3d, pts3d_ndc,
+                             pose, method=model.match_cascade)
+            pnp2 = solve(m2, r_pnp2)
+            use2 = pnp2.success
+            pose = jnp.where(use2, pnp2.c2w, pose)
+            num_inliers = jnp.where(use2, pnp2.num_inliers, num_inliers)
+
+        if cfg.optimize_pose:
+            # photometric refinement by differentiable rendering
+            # (reference pose_optimizer.py:39-199: 50 Adam steps, lr 1e-3)
+            from ..solve.pose_refine import refine_pose, sample_refine_pixels
+
+            H, W = b["image"].shape[0], b["image"].shape[1]
+
+            def render_fn(rays_o, rays_d, p):
+                def f(mod):
+                    return mod.model_3d.render_rays(ctx, rays_o, rays_d, p,
+                                                    False)
+                return model.apply(params, method=f)
+
+            uv = sample_refine_pixels(r_ref, H, W,
+                                      cfg.shapes.pose_refine_rays,
+                                      b.get("target_mask"))
+            pose = refine_pose(render_fn, pose, b["K"], b["image"], uv,
+                               r_ref, max_steps=50, lr=1e-3)
+
+        rot_err, trans_err = compute_pose_error(pose, b["pose"])
         return {
             "rot_err_deg": rot_err,
             "trans_err_m": trans_err,
-            "num_inliers": pnp.num_inliers,
-            "num_matches": jnp.sum(out["match_mask"].astype(jnp.int32)),
-            "pose_pred": pnp.c2w,
+            "num_inliers": num_inliers,
+            "num_matches": jnp.sum(m["pair_mask"].astype(jnp.int32)),
+            "pose_pred": pose,
             "pnp_success": pnp.success,
         }
 

@@ -1,0 +1,84 @@
+"""Cascade matching + photometric pose refinement + full-image render."""
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from nerfloc_tpu.configs import Config, MatchingConfig, RenderConfig, \
+    StaticShapeConfig
+from nerfloc_tpu.data import device_batch, make_query_batch, stack_batches
+from nerfloc_tpu.models.pose_estimator import NerfPoseEstimator, \
+    select_visible_mask
+from nerfloc_tpu.parallel.mesh import MeshSpec, make_mesh, shard_batch
+from nerfloc_tpu.train import make_eval_step
+
+
+def tiny_cfg(**kw):
+    return Config(
+        backbone2d_fpn_dim=16,
+        model_3d_hidden_dim=16,
+        matcher_hidden_dim=24,
+        n_views_train=2,
+        render=RenderConfig(N_samples=4, N_rand=8, chunk=64),
+        matching=MatchingConfig(fine_num_3d_keypoints=16,
+                                coarse_num_3d_keypoints=16),
+        shapes=StaticShapeConfig(pnp_hypotheses=32, pose_refine_rays=16),
+        **kw,
+    )
+
+
+def test_select_visible_mask():
+    pose = jnp.eye(4)
+    K = jnp.array([[50.0, 0, 32.0], [0, 50.0, 32.0], [0, 0, 1.0]])
+    pts = jnp.array([
+        [0.0, 0.0, 2.0],    # center, in front -> visible
+        [0.0, 0.0, -2.0],   # behind
+        [10.0, 0.0, 1.0],   # projects far outside
+    ])
+    m = select_visible_mask(pts, pose, K, 64, 64)
+    assert m.tolist() == [True, False, False]
+
+
+@pytest.mark.slow
+def test_eval_with_cascade_and_refine():
+    cfg = tiny_cfg(cascade_matching=True, optimize_pose=True)
+    model = NerfPoseEstimator(cfg)
+    items = [device_batch(make_query_batch(n_views=2, H=32, W=32, seed=i))
+             for i in range(2)]
+    host_batch = stack_batches(items)
+    rng = jax.random.PRNGKey(0)
+    init_batch = {k: jnp.asarray(v[0]) for k, v in host_batch.items()}
+    params = jax.jit(model.init)(rng, init_batch, rng)
+
+    mesh = make_mesh(MeshSpec(data=2, ray=1))
+    with mesh:
+        batch = shard_batch(host_batch, mesh)
+        ev = make_eval_step(model, cfg, mesh)
+        out = ev(params, batch, jax.random.PRNGKey(1))
+    assert out["pose_pred"].shape == (2, 4, 4)
+    assert np.isfinite(np.asarray(out["rot_err_deg"])).all()
+    assert np.isfinite(np.asarray(out["pose_pred"])).all()
+
+
+def test_render_image_chunked():
+    cfg = tiny_cfg()
+    model = NerfPoseEstimator(cfg)
+    item = device_batch(make_query_batch(n_views=2, H=32, W=32, seed=0))
+    batch = {k: jnp.asarray(v) for k, v in item.items()}
+    rng = jax.random.PRNGKey(0)
+    params = jax.jit(model.init)(rng, batch, rng)
+
+    @jax.jit
+    def render(params, batch):
+        def f(m):
+            ctx, _ = m.build_context(batch)
+            return m.model_3d.render_image(ctx, batch["K"], batch["pose"],
+                                           32, 32)
+        return model.apply(params, method=f)
+
+    out = render(params, batch)
+    assert out["rgb"].shape == (32, 32, 3)
+    assert out["depth"].shape == (32, 32)
+    assert np.isfinite(np.asarray(out["rgb"])).all()
