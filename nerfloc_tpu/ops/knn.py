@@ -55,13 +55,21 @@ def knn(queries: Array, points: Array, K: int,
       queries: [N, D]; points: [M, D] (padded entries allowed).
       points_mask: optional [M] bool; False entries are excluded.
       tile: reference-cloud tile size processed per step.
-      method: 'approx' (TPU PartialReduce, default) or 'exact'.
+      method: 'approx' (TPU PartialReduce, default), 'exact' (streamed
+        top_k scan), or 'pallas' (exact VMEM-resident kernel,
+        ops/knn_pallas.py — 265ms vs the scan's 437ms at 262k x 24k;
+        requires the cloud to fit VMEM).
 
     Returns:
       (dists [N, K] squared L2 sorted ascending, idx [N, K] int32) —
       pytorch3d `knn_points(..., return_sorted=True)` semantics
       (reference knn_utils.py:97-173).
     """
+    if method == "pallas":
+        from .knn_pallas import knn_pallas
+
+        return knn_pallas(queries, points, points_mask, K)
+
     N, D = queries.shape
     M = points.shape[0]
     if points_mask is None:
