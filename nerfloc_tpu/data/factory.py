@@ -59,6 +59,34 @@ def build_dataset(cfg: Config, split: str, mode: Optional[str] = None,
         aug_ref_depth=bool(dc.get("aug_ref_depth", False)),
     )
 
+    if cfg.dataset_type == "blender":
+        # NeRF-synthetic scenes (reference reaches these via the NeuRay
+        # submodule, neuray_base_dataset.py:20-81)
+        from .blender_scene import blender_scene_store
+
+        datasets = []
+        for scene in scenes:
+            store = blender_scene_store(base_dir, scene,
+                                        near=float(dc.get("near", 2.0)),
+                                        far=float(dc.get("far", 6.0)))
+            datasets.append(VideoDataset(store, split, transforms,
+                                         aug_transforms, opts, mode))
+        return MultiSceneDataset(datasets)
+
+    if cfg.dataset_type == "colmap":
+        # COLMAP dense workspaces (reference ColmapDataset dispatch,
+        # datasets/__init__.py:15-52); one workspace per "scene" path
+        from .colmap_scene import colmap_scene_store
+
+        datasets = []
+        for scene in scenes:
+            store = colmap_scene_store(
+                os.path.join(base_dir, scene) if base_dir else scene,
+                depth_type=dc.get("depth_type", "colmap"), scene=scene)
+            datasets.append(VideoDataset(store, split, transforms,
+                                         aug_transforms, opts, mode))
+        return MultiSceneDataset(datasets)
+
     datasets = []
     for scene in scenes:
         store = SceneStore.load(

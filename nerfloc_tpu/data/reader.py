@@ -46,10 +46,37 @@ def load_image(path: str) -> np.ndarray:
     return np.asarray(Image.open(path).convert("RGB"))
 
 
+def read_pfm(path: str) -> np.ndarray:
+    """Portable float map (casMVSNet depth output; reference
+    reader.py:191-230)."""
+    with open(path, "rb") as f:
+        header = f.readline().strip()
+        if header not in (b"PF", b"Pf"):
+            raise ValueError(f"{path}: not a PFM file")
+        channels = 3 if header == b"PF" else 1
+        dims = f.readline().split()
+        w, h = int(dims[0]), int(dims[1])
+        scale = float(f.readline().strip())
+        endian = "<" if scale < 0 else ">"
+        data = np.fromfile(f, dtype=endian + "f4", count=w * h * channels)
+    img = data.reshape(h, w, channels) if channels > 1 else data.reshape(h, w)
+    return np.flipud(img).copy()  # PFM rows are bottom-up
+
+
 def load_depth(path: str) -> np.ndarray:
     """Depth in metres, float32; invalid pixels = 0."""
     if path.endswith(".geometric.bin"):
         depth = read_colmap_array(path).astype(np.float32)
+    elif path.endswith(".pfm"):
+        depth = read_pfm(path).astype(np.float32)
+        # casMVSNet layout keeps a photometric-consistency mask next to the
+        # depth (reference colmap_dataset.py:150-156)
+        mask_path = path.replace("depth_est", "mask").replace(
+            ".pfm", "_final.png")
+        if os.path.exists(mask_path) and _HAS_CV2:
+            m = cv2.imread(mask_path, cv2.IMREAD_ANYDEPTH)
+            if m is not None and m.shape == depth.shape:
+                depth = depth * (m > 0).astype(np.float32)
     elif path.endswith(".npy"):
         depth = np.load(path).astype(np.float32)
     else:

@@ -221,10 +221,18 @@ class ConditionalNeRF(nn.Module):
 
         dists, idx = knn(xyz, points.xyz, K=K, points_mask=points.mask)
         dists = safe_sqrt(dists)
-        nb_xyz = knn_gather(points.xyz, idx)            # [N, K, 3]
-        nb_feat = knn_gather(points.feature, idx)       # [N, K, F]
-        nb_conf = knn_gather(points.confidence, idx)    # [N, K, 1]
-        nb_dir = knn_gather(points.direction, idx)      # [N, K, 4]
+        # ONE packed gather instead of four: TPU gathers are latency-bound
+        # per row, so gathering [xyz|feature|conf|dir] together costs the
+        # same as gathering xyz alone
+        F = points.feature.shape[-1]
+        packed = jnp.concatenate([points.xyz, points.feature,
+                                  points.confidence, points.direction],
+                                 axis=-1)
+        nb = knn_gather(packed, idx)                    # [N, K, 3+F+1+4]
+        nb_xyz = nb[..., :3]
+        nb_feat = nb[..., 3:3 + F]
+        nb_conf = nb[..., 3 + F:4 + F]
+        nb_dir = nb[..., 4 + F:]
 
         if direction is None:
             direction = nb_dir[:, 0, :]  # model.py:391-392
