@@ -101,6 +101,36 @@ def resize_nearest_np(x: np.ndarray, H: int, W: int) -> np.ndarray:
     return x[iy][:, ix]
 
 
+class LMDBReader:
+    """Read-only LMDB image store (reference reader.py:11-170 packs scenes
+    into LMDB for cluster filesystems). Gated: the `lmdb` package is not in
+    the base image, so construction raises a clear error when missing."""
+
+    def __init__(self, path: str):
+        try:
+            import lmdb
+        except ImportError as e:  # pragma: no cover
+            raise ImportError(
+                "LMDB-packed scenes need the 'lmdb' package (not in this "
+                "image); repack with plain files or install lmdb") from e
+        self._env = lmdb.open(path, readonly=True, lock=False,
+                              readahead=False)
+
+    def get(self, key: str) -> bytes:
+        with self._env.begin(write=False) as txn:
+            data = txn.get(key.encode("utf-8"))
+        if data is None:
+            raise KeyError(key)
+        return data
+
+    def get_image(self, key: str) -> np.ndarray:
+        import cv2
+
+        buf = np.frombuffer(self.get(key), np.uint8)
+        return cv2.cvtColor(cv2.imdecode(buf, cv2.IMREAD_COLOR),
+                            cv2.COLOR_BGR2RGB)
+
+
 def load_frame(base_dir: str, meta: Dict) -> Tuple[np.ndarray, np.ndarray,
                                                    np.ndarray, np.ndarray]:
     """(rgb uint8, depth m float32 at rgb res, Tcw [3,4], K [3,3]).

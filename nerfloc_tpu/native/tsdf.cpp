@@ -152,4 +152,94 @@ int64_t tsdf_extract_points(const TsdfVolume* v, float thresh, float* xyz,
 const float* tsdf_data(const TsdfVolume* v) { return v->tsdf; }
 const float* tsdf_weights(const TsdfVolume* v) { return v->weight; }
 
+// ---------------------------------------------------------------------------
+// Surface mesh extraction by marching tetrahedra (equivalent of the
+// reference's get_mesh / skimage marching_cubes path, fusion.py get_mesh):
+// each cell splits into 6 tetrahedra; zero crossings of the TSDF along
+// tetrahedron edges emit triangles. Table-free and watertight.
+// ---------------------------------------------------------------------------
+
+namespace {
+
+struct V3 { float x, y, z; };
+
+// the 6 tetrahedra of a cube, as corner indices (0..7, z fastest)
+const int kTets[6][4] = {
+    {0, 5, 1, 6}, {0, 1, 2, 6}, {0, 2, 3, 6},
+    {0, 3, 7, 6}, {0, 7, 4, 6}, {0, 4, 5, 6}};
+// cube corner offsets (x, y, z)
+const int kOff[8][3] = {{0, 0, 0}, {1, 0, 0}, {1, 1, 0}, {0, 1, 0},
+                        {0, 0, 1}, {1, 0, 1}, {1, 1, 1}, {0, 1, 1}};
+
+inline V3 lerp_zero(const V3& a, const V3& b, float va, float vb) {
+  float t = va / (va - vb + 1e-12f);
+  if (t < 0.f) t = 0.f;
+  if (t > 1.f) t = 1.f;
+  return V3{a.x + t * (b.x - a.x), a.y + t * (b.y - a.y),
+            a.z + t * (b.z - a.z)};
+}
+
+}  // namespace
+
+// Count then emit surface triangles. verts buffer holds cap triangles
+// (9 floats each). Returns triangles written.
+int64_t tsdf_extract_mesh(const TsdfVolume* v, float* tri_verts,
+                          int64_t cap) {
+  const int64_t nyz = v->ny * v->nz;
+  int64_t out = 0;
+  for (int64_t ix = 0; ix + 1 < v->nx && out < cap; ++ix)
+    for (int64_t iy = 0; iy + 1 < v->ny && out < cap; ++iy)
+      for (int64_t iz = 0; iz + 1 < v->nz && out < cap; ++iz) {
+        float val[8];
+        V3 pos[8];
+        bool ok = true;
+        for (int c = 0; c < 8; ++c) {
+          const int64_t jx = ix + kOff[c][0], jy = iy + kOff[c][1],
+                        jz = iz + kOff[c][2];
+          const int64_t idx = jx * nyz + jy * v->nz + jz;
+          if (v->weight[idx] <= 0.0f) { ok = false; break; }
+          val[c] = v->tsdf[idx];
+          // surfaces exactly on lattice planes collapse crossings onto
+          // corners (degenerate triangles); nudge exact zeros inside
+          if (val[c] == 0.0f) val[c] = -1e-6f;
+          pos[c] = V3{v->origin[0] + (float)jx * v->voxel_size,
+                      v->origin[1] + (float)jy * v->voxel_size,
+                      v->origin[2] + (float)jz * v->voxel_size};
+        }
+        if (!ok) continue;
+        for (int t = 0; t < 6 && out < cap; ++t) {
+          const int* T = kTets[t];
+          int inside = 0, code = 0;
+          for (int k = 0; k < 4; ++k)
+            if (val[T[k]] < 0.0f) { ++inside; code |= 1 << k; }
+          if (inside == 0 || inside == 4) continue;
+
+          // collect crossing points on the 6 tet edges
+          V3 pts[4];
+          int np = 0;
+          const int E[6][2] = {{0, 1}, {0, 2}, {0, 3}, {1, 2}, {1, 3}, {2, 3}};
+          for (int e = 0; e < 6 && np < 4; ++e) {
+            const int a = T[E[e][0]], b = T[E[e][1]];
+            if ((val[a] < 0.f) != (val[b] < 0.f))
+              pts[np++] = lerp_zero(pos[a], pos[b], val[a], val[b]);
+          }
+          auto emit = [&](const V3& a, const V3& b, const V3& c) {
+            if (out >= cap) return;
+            float* p = tri_verts + out * 9;
+            p[0] = a.x; p[1] = a.y; p[2] = a.z;
+            p[3] = b.x; p[4] = b.y; p[5] = b.z;
+            p[6] = c.x; p[7] = c.y; p[8] = c.z;
+            ++out;
+          };
+          if (np == 3) {
+            emit(pts[0], pts[1], pts[2]);
+          } else if (np == 4) {  // quad -> two triangles
+            emit(pts[0], pts[1], pts[2]);
+            emit(pts[0], pts[2], pts[3]);
+          }
+        }
+      }
+  return out;
+}
+
 }  // extern "C"

@@ -32,6 +32,9 @@ def _lib():
     lib.tsdf_extract_points.argtypes = [ctypes.c_void_p, ctypes.c_float,
                                         ctypes.c_void_p, ctypes.c_void_p,
                                         ctypes.c_int64]
+    lib.tsdf_extract_mesh.restype = ctypes.c_int64
+    lib.tsdf_extract_mesh.argtypes = [ctypes.c_void_p, ctypes.c_void_p,
+                                      ctypes.c_int64]
     return lib
 
 
@@ -82,6 +85,19 @@ class TSDFVolume:
         m = self._lib.tsdf_extract_points(self._vol, float(thresh),
                                           _ptr(xyz), _ptr(rgb), int(n))
         return xyz[:m], rgb[:m]
+
+    def get_mesh(self, max_triangles: int = 4_000_000) -> np.ndarray:
+        """Surface triangles [T, 3, 3] by marching tetrahedra (reference
+        get_mesh, fusion.py; the reference used skimage marching_cubes)."""
+        buf = np.empty((max_triangles, 9), dtype=np.float32)
+        n = self._lib.tsdf_extract_mesh(self._vol, _ptr(buf),
+                                        int(max_triangles))
+        tris = buf[:n].reshape(-1, 3, 3)
+        # drop degenerate slivers (crossings collapsed onto a lattice point)
+        a = tris[:, 1] - tris[:, 0]
+        b = tris[:, 2] - tris[:, 0]
+        area2 = np.linalg.norm(np.cross(a, b), axis=1)
+        return tris[area2 > 1e-12]
 
     def __del__(self):
         try:

@@ -64,3 +64,22 @@ def test_tsdf_weights_accumulate(tsdf_mod):
     assert len(xyz2) == len(xyz1)
     z = xyz1[:, 2]
     assert (np.abs(z - 2.0) < 0.12).mean() > 0.9
+
+
+def test_tsdf_mesh_extraction(tsdf_mod):
+    TSDFVolume = tsdf_mod
+    H, W = 40, 40
+    K = np.array([[40.0, 0, 20.0], [0, 40.0, 20.0], [0, 0, 1.0]])
+    depth = np.full((H, W), 2.013, np.float32)
+    vol = TSDFVolume(np.array([[-1, 1], [-1, 1], [1.0, 3.0]]), 0.05)
+    vol.integrate(None, depth, K, np.eye(4))
+    tris = vol.get_mesh()
+    assert len(tris) > 50
+    # all triangle vertices lie near the z=2.013 plane
+    z = tris[..., 2].reshape(-1)
+    assert (np.abs(z - 2.013) < 0.1).mean() > 0.95
+    # triangles have non-degenerate area
+    a = tris[:, 1] - tris[:, 0]
+    b = tris[:, 2] - tris[:, 0]
+    area = 0.5 * np.linalg.norm(np.cross(a, b), axis=1)
+    assert (area > 0).mean() > 0.9
