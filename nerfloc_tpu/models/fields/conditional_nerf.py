@@ -87,10 +87,13 @@ class ConditionalNeRF(nn.Module):
         self.confidence_mlp = MLP((64, 1), final_activation="sigmoid", dtype=self.dtype)
         self.keypoint_head = MLP((1,), final_activation="sigmoid", dtype=self.dtype)
 
-        # model.py:63-77
+        # model.py:63-77. The reference's base_mlp_agg_weight correlation
+        # head is omitted: its softmax runs over K identical attention
+        # outputs (the query is repeated, model.py:413-414), so it always
+        # produces uniform weights that cancel in the normalization — the
+        # head receives zero gradient and has no effect on any output.
         self.base_mlp = MLP((W, W, W), final_activation="leaky_relu", dtype=self.dtype)
         self.base_mlp_attn = MultiHeadAttention(4, W, 32, 32, dtype=self.dtype)
-        self.base_mlp_agg_weight = MLP((W, 1), dtype=self.dtype)
 
         n_total_samples = cfg.render.N_samples + cfg.render.N_importance
         self.ray_unet = RayUnet(W, n_total_samples, dtype=self.dtype)
@@ -249,15 +252,20 @@ class ConditionalNeRF(nn.Module):
             self.ray_diff_fc(ray_diff),
         ], axis=-1))  # [N, K, W]
 
-        q = jnp.repeat(mv_agg[:, None, :], K, axis=1)
-        feature, _ = self.base_mlp_attn(q, point_feature, point_feature)
-        correlation = jax.nn.softmax(
-            self.base_mlp_agg_weight(feature)[..., 0], axis=1)  # [N, K]
+        # The reference repeats the SAME multiview-agg query across all K
+        # neighbour slots (model.py:413-414), so every attention output row
+        # is identical; the correlation softmax over identical rows is
+        # uniform, and the normalized (1/dist * corr * conf) weights then
+        # sum to 1 over identical features — i.e. feature_agg is EXACTLY the
+        # single-query attention output. Computing it with Lq=1 is an exact
+        # 8x reduction of the attention (110ms of the render call on v5e).
+        feature1, _ = self.base_mlp_attn(mv_agg[:, None, :], point_feature,
+                                         point_feature)  # [N, 1, W]
+        feature_agg = feature1[:, 0]
+        feature = jnp.broadcast_to(feature1, point_feature.shape)
 
-        weights = 1.0 / jnp.clip(dists, 1e-8)
-        weights = weights * correlation * nb_conf[..., 0]
+        weights = (1.0 / jnp.clip(dists, 1e-8)) * nb_conf[..., 0]
         weights = weights / jnp.clip(jnp.sum(weights, axis=1, keepdims=True), 1e-8)
-        feature_agg = jnp.sum(feature * weights[..., None], axis=1)  # [N, W]
 
         return {
             "feature_agg": feature_agg,
