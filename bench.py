@@ -34,7 +34,8 @@ def main():
         render=RenderConfig(N_samples=64, N_rand=1024, chunk=2048),
         matching=MatchingConfig(fine_num_3d_keypoints=1024),
     )
-    model = NerfPoseEstimator(cfg)
+    from nerfloc_tpu.configs import compute_dtype_of
+    model = NerfPoseEstimator(cfg, dtype=compute_dtype_of(cfg))
 
     H, W, V = 240, 320, 5
     batch = {k: jnp.asarray(v) for k, v in

@@ -53,11 +53,13 @@ def main():
     test_ds = build_dataset(cfg, "test", mode="test")
     scene_names = {i: n for i, n in enumerate(test_ds.scene_names())}
 
-    model = NerfPoseEstimator(cfg)
+    from ..configs import compute_dtype_of
+
+    model = NerfPoseEstimator(cfg, dtype=compute_dtype_of(cfg))
     rng = jax.random.PRNGKey(args.seed)
     init_batch = {k: jax.numpy.asarray(v)
                   for k, v in device_batch(test_ds[0]).items()}
-    params = model.init(rng, init_batch, rng)
+    params = jax.jit(model.init)(rng, init_batch, rng)
     if args.ckpt:
         # orbax needs a shape/dtype template; build one from a fresh state
         template = create_train_state(params, cfg)
@@ -68,9 +70,37 @@ def main():
         print(f"loaded checkpoint from {args.ckpt} (step {restored['step']})")
 
     eval_step = make_eval_step(model, cfg, mesh)
+    collect = cfg.vis_trajectory or cfg.vis_3d_box
     with mesh:
         results = eval_dataset(test_ds, eval_step, params, mesh, batch_size,
-                               rng, scene_names, cfg)
+                               rng, scene_names, cfg, collect_poses=collect)
+
+    poses = results.pop("_poses", None)
+    out_dir = os.path.dirname(args.out) if args.out else "eval_out"
+    if cfg.vis_trajectory and poses is not None:
+        # trajectory + scene points pkl (reference pl/model.py:263-276)
+        from ..utils.visualization import dump_trajectory
+
+        pts = test_ds.datasets[0].store.points if test_ds.datasets else None
+        dump_trajectory(os.path.join(out_dir, "trajectory.pkl"),
+                        poses["filenames"], poses["poses_pred"],
+                        poses["poses_gt"], pts)
+    if cfg.vis_3d_box and poses is not None:
+        # OnePose-style 3D box overlays (reference pl/model.py:166-177)
+        import cv2
+
+        from ..utils.visualization import draw_box3d
+
+        os.makedirs(out_dir, exist_ok=True)
+        for i in range(0, len(test_ds), max(cfg.test_render_interval, 1)):
+            item = test_ds[i]
+            if "bbox3d_corners" not in item:
+                continue
+            img = (np.asarray(item["image"]) * 255).astype(np.uint8)
+            over = draw_box3d(img, np.asarray(item["bbox3d_corners"])[:8],
+                              np.asarray(item["K"]), poses["poses_pred"][i])
+            cv2.imwrite(os.path.join(out_dir, f"box_{i:05d}.png"),
+                        cv2.cvtColor(over, cv2.COLOR_RGB2BGR))
 
     if cfg.vis_rendering:
         results["render"] = render_eval(model, params, cfg, test_ds,

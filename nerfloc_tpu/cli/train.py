@@ -70,11 +70,15 @@ def main():
     test_ds = build_dataset(cfg, "test", mode="test")
     scene_names = {i: n for i, n in enumerate(test_ds.scene_names())}
 
-    model = NerfPoseEstimator(cfg)
+    from ..configs import compute_dtype_of
+
+    model = NerfPoseEstimator(cfg, dtype=compute_dtype_of(cfg))
     rng = jax.random.PRNGKey(args.seed)
     init_item = device_batch(train_ds[0])
     init_batch = {k: jax.numpy.asarray(v) for k, v in init_item.items()}
-    params = model.init(rng, init_batch, rng)
+    # jitted init: eager init is thousands of small ops (pathological on
+    # remote-TPU transports)
+    params = jax.jit(model.init)(rng, init_batch, rng)
 
     mgr = CheckpointManager(os.path.join(run_dir, "ckpts"))
     with mesh:

@@ -173,6 +173,14 @@ def get_cfg_defaults() -> Config:
     return Config()
 
 
+def compute_dtype_of(cfg: Config):
+    """Resolve cfg.compute_dtype to a jnp dtype (bf16 keeps params f32;
+    flax Dense(dtype=...) casts activations only)."""
+    import jax.numpy as jnp
+
+    return {"bfloat16": jnp.bfloat16, "float32": jnp.float32}[cfg.compute_dtype]
+
+
 def load_config(path: Optional[str] = None, overrides: Optional[Dict[str, Any]] = None) -> Config:
     """Build a Config from defaults, an optional YAML file, and overrides.
 

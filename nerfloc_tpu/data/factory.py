@@ -98,6 +98,8 @@ def build_dataset(cfg: Config, split: str, mode: Optional[str] = None,
             rescale_far_limit=dc.get("rescale_far_limit"),
             tempo_interval=int(dc.get("tempo_interval", 1)),
         )
-        datasets.append(VideoDataset(store, split, transforms, aug_transforms,
-                                     opts, mode))
+        datasets.append(VideoDataset(
+            store, split, transforms, aug_transforms, opts, mode,
+            test_time_color_jitter=cfg.test_time_color_jitter,
+            test_time_style_change=cfg.test_time_style_change))
     return MultiSceneDataset(datasets)

@@ -87,7 +87,9 @@ class VideoDataset:
 
     def __init__(self, store: SceneStore, split: str,
                  transforms: Compose, aug_transforms: Optional[Compose] = None,
-                 opts: Optional[DataOptions] = None, mode: str = "test"):
+                 opts: Optional[DataOptions] = None, mode: str = "test",
+                 test_time_color_jitter: bool = False,
+                 test_time_style_change: bool = False):
         self.store = store
         self.split = split
         self.mode = mode
@@ -95,6 +97,24 @@ class VideoDataset:
         self.aug_transform = aug_transforms or Compose([])
         self.opts = opts or DataOptions()
         self.epoch = 0
+        self.test_time_style_change = test_time_style_change
+
+        # test-time color-jitter robustness harness: a fixed table of jitter
+        # parameter combinations, selected per frame by a filename hash so
+        # runs are reproducible (reference dataset.py:101-117, 443-448)
+        self.test_time_color_jitter = test_time_color_jitter
+        if test_time_color_jitter:
+            from .transforms import ColorJitter
+
+            self._tt_jitter = ColorJitter()
+            self._tt_params = [
+                {"order": [0, 1, 2, 3], "brightness": b, "contrast": c,
+                 "saturation": s, "hue": h}
+                for b in (0.25, 0.75, 1.25, 1.75)
+                for c in (0.25, 0.75, 1.25, 1.75)
+                for s in (0.25, 0.75, 1.25, 1.75)
+                for h in (0.05, -0.05)
+            ]
 
         self._train_index = store.train_index()
         self._coreset_names: Optional[List[str]] = None
@@ -191,6 +211,13 @@ class VideoDataset:
         aug_params = self.aug_transform.sample_params(rng) \
             if self.mode == "train" else None
 
+        if self.mode == "test" and self.test_time_style_change:
+            # swap in the pre-stylized night images (reference
+            # dataset.py:410-418 path rewrite)
+            meta = dict(meta)
+            meta["file_name"] = meta["file_name"].replace(
+                "/seq", "/style_images/seq").replace("/frame", "_night/frame")
+
         tmask = None
         if store.bboxes_3d is not None and store.points is not None:
             Tcw = _tcw44(meta["extrinsic_Tcw"])
@@ -201,6 +228,13 @@ class VideoDataset:
 
         img, depth, Tcw, K, tmask = self._load_transformed(meta, aug_params,
                                                            tmask)
+        if self.mode == "test" and self.test_time_color_jitter:
+            import hashlib
+
+            h = int(hashlib.sha1(meta["file_name"].encode()).hexdigest(), 16)
+            p = self._tt_params[h % len(self._tt_params)]
+            img, depth, Tcw, K, tmask = self._tt_jitter(
+                img, depth, Tcw, K, tmask, params=p)
         c2w = np.linalg.inv(_tcw44(Tcw)).astype(np.float32)
         depth = depth * store.scale_factor
 

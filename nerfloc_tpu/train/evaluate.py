@@ -18,9 +18,11 @@ from ..utils.metrics import aggregate_per_scene
 
 
 def eval_dataset(test_ds, eval_step, params, mesh, batch_size: int,
-                 rng, scene_names: Dict[int, str], cfg) -> Dict:
+                 rng, scene_names: Dict[int, str], cfg,
+                 collect_poses: bool = False) -> Dict:
     name_to_id = {v: k for k, v in scene_names.items()}
     rot, trans, sids, scales, files = [], [], [], [], []
+    poses_pred, poses_gt = [], []
     n = len(test_ds)
     for start in range(0, n, batch_size):
         idxs = list(range(start, min(start + batch_size, n)))
@@ -36,6 +38,9 @@ def eval_dataset(test_ds, eval_step, params, mesh, batch_size: int,
         sids.extend(name_to_id.get(it["scene"], 0) for it in items[:real])
         scales.extend(float(it["scale_factor"]) for it in items[:real])
         files.extend(it["filename"] for it in items[:real])
+        if collect_poses:
+            poses_pred.append(np.asarray(out["pose_pred"])[:real])
+            poses_gt.extend(np.asarray(it["pose"]) for it in items[:real])
     results = aggregate_per_scene(
         np.asarray(sids), np.concatenate(rot), np.concatenate(trans),
         scene_names, np.asarray(scales),
@@ -43,4 +48,10 @@ def eval_dataset(test_ds, eval_step, params, mesh, batch_size: int,
         trans_thresh=cfg.translation_eval_thresh,
         dataset_type=cfg.dataset_type)
     results["avg"]["files"] = len(files)
+    if collect_poses:
+        results["_poses"] = {
+            "filenames": files,
+            "poses_pred": np.concatenate(poses_pred, axis=0),
+            "poses_gt": np.stack(poses_gt),
+        }
     return results
