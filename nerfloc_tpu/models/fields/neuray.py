@@ -231,7 +231,11 @@ def cross_view_diff_feats(images: Array, d_norm: Array, Ks: Array, c2ws: Array,
         dpt_diff = jnp.clip(jnp.abs(dpt_diff * inv_range), max=1.5)
         return rgb_diff, dpt_diff, valid.astype(images.dtype)
 
-    rgb_diff, dpt_diff, valid = jax.vmap(source_view)(images, depth, Ks, c2ws)
+    # lax.map (not vmap): the per-source-view buffers are [V*H*W, ...]; with
+    # a vmapped gather all V source views' sample buffers live at once and
+    # blow HBM at V=10 (SURVEY-scale eval uses n_views_test=10)
+    rgb_diff, dpt_diff, valid = jax.lax.map(
+        lambda args: source_view(*args), (images, depth, Ks, c2ws))
     # masked mean/var over the source-view axis (depth_fusion.py:200-205)
     wsum = jnp.clip(jnp.sum(valid, axis=0), 1e-4)
     rgb_mean = jnp.sum(rgb_diff * valid[..., None], axis=0) / wsum[..., None]

@@ -61,22 +61,35 @@ def bilinear_sample(feat: Array, uv: Array, *, padding_mode: str = "border") -> 
     u = jnp.clip(uv[..., 0], 0.0, W - 1)
     v = jnp.clip(uv[..., 1], 0.0, H - 1)
 
-    # one 2x2xC window gather per sample instead of four row gathers: TPU
-    # gathers are latency-bound per op, so this is ~25% faster at 1.3M rows.
-    # Clamping the window start to [0, size-2] keeps du/dv in [0, 1] at the
-    # far border (u=W-1 -> u0=W-2, du=1).
     u0 = jnp.clip(jnp.floor(u), 0, W - 2).astype(jnp.int32)
     v0 = jnp.clip(jnp.floor(v), 0, H - 2).astype(jnp.int32)
     du = (u - u0)[..., None]
     dv = (v - v0)[..., None]
 
-    win = jax.vmap(
-        lambda vv, uu: jax.lax.dynamic_slice(feat, (vv, uu, 0), (2, 2, C))
-    )(v0, u0)  # [N, 2, 2, C]
+    if C >= 32:
+        # one 2x2xC window gather per sample instead of four row gathers:
+        # TPU gathers are latency-bound per op, so this is ~25% faster at
+        # 1.3M rows. Window start clamped to [0, size-2] keeps du/dv in
+        # [0, 1] at the far border (u=W-1 -> u0=W-2, du=1).
+        win = jax.vmap(
+            lambda vv, uu: jax.lax.dynamic_slice(feat, (vv, uu, 0), (2, 2, C))
+        )(v0, u0)  # [N, 2, 2, C]
+        top = win[:, 0, 0] * (1 - du) + win[:, 0, 1] * du
+        bot = win[:, 1, 0] * (1 - du) + win[:, 1, 1] * du
+        out = top * (1 - dv) + bot * dv
+    else:
+        # small-C maps (rgb, depth): the [N, 2, 2, C] window output gets
+        # padded to (8, 128) TPU tiles — a ~40x memory blowup at C=3 that
+        # OOMs HBM at scale. Four row gathers, each freed after use.
+        flat = feat.reshape(H * W, C)
 
-    top = win[:, 0, 0] * (1 - du) + win[:, 0, 1] * du
-    bot = win[:, 1, 0] * (1 - du) + win[:, 1, 1] * du
-    out = top * (1 - dv) + bot * dv
+        def g(vi, ui):
+            return jnp.take(flat, vi * W + ui, axis=0)
+
+        out = (g(v0, u0) * (1 - du) * (1 - dv)
+               + g(v0, u0 + 1) * du * (1 - dv)
+               + g(v0 + 1, u0) * (1 - du) * dv
+               + g(v0 + 1, u0 + 1) * du * dv)
     return out.reshape(shape + (C,))
 
 
