@@ -101,18 +101,14 @@ def main():
         train_step = make_train_step(model, cfg, mesh)
         eval_step = make_eval_step(model, cfg, mesh)
 
-        steps_per_epoch = max(len(train_ds) // batch_size, 1)
-        order_rng = np.random.default_rng(args.seed)
+        from ..data.prefetch import BatchLoader
+
+        loader = BatchLoader(train_ds, batch_size, shuffle=True,
+                             seed=args.seed)
         for epoch in range(cfg.max_epochs):
-            train_ds.set_epoch(epoch)
-            order = order_rng.permutation(len(train_ds))
             t0 = time.time()
-            for it in range(steps_per_epoch):
-                idxs = order[it * batch_size: (it + 1) * batch_size]
-                if len(idxs) < batch_size:
-                    break
-                items = [device_batch(train_ds[int(i)]) for i in idxs]
-                batch = shard_batch(stack_batches(items), mesh)
+            for it, host_batch in enumerate(loader.epoch(epoch)):
+                batch = shard_batch(host_batch, mesh)
                 rng, step_rng = jax.random.split(rng)
                 state, metrics = train_step(state, batch, step_rng)
                 if it % 50 == 0:

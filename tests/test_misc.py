@@ -66,3 +66,30 @@ def test_colorize_depth_range():
     mask[:4] = True
     rgb2 = colorize_depth(d, mask)
     assert (rgb2[4:] == 0).all()
+
+
+def test_batch_loader_prefetch(tmp_path):
+    import sys
+
+    sys.path.insert(0, "tests")
+    from test_data import _write_scene
+
+    from nerfloc_tpu.data.prefetch import BatchLoader
+    from nerfloc_tpu.data.scene_store import SceneStore
+    from nerfloc_tpu.data.transforms import Compose, PadToSize, ResizeAndCrop
+    from nerfloc_tpu.data.video_dataset import DataOptions, VideoDataset
+
+    root = str(tmp_path)
+    _write_scene(root, scene="box", n_train=6, n_test=5)
+    store = SceneStore.load(root, "box")
+    tf = Compose([ResizeAndCrop(64, 16), PadToSize(64, 96)])
+    ds = VideoDataset(store, "test", tf, opts=DataOptions(n_views=2))
+    loader = BatchLoader(ds, batch_size=2, num_workers=3, seed=1)
+    assert len(loader) == 2  # 5 items, drop_last
+    batches = list(loader.epoch(0))
+    assert len(batches) == 2
+    assert batches[0]["image"].shape == (2, 64, 96, 3)
+    assert batches[0]["topk_images"].shape == (2, 2, 64, 96, 3)
+    # different epoch -> different shuffle order is permitted but shapes hold
+    b2 = list(loader.epoch(1))
+    assert len(b2) == 2
