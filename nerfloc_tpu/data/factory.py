@@ -73,6 +73,17 @@ def build_dataset(cfg: Config, split: str, mode: Optional[str] = None,
                                          aug_transforms, opts, mode))
         return MultiSceneDataset(datasets)
 
+    if cfg.dataset_type == "llff":
+        from .llff_scene import llff_scene_store
+
+        datasets = []
+        for scene in scenes:
+            store = llff_scene_store(base_dir, scene,
+                                     factor=int(dc.get("factor", 4)))
+            datasets.append(VideoDataset(store, split, transforms,
+                                         aug_transforms, opts, mode))
+        return MultiSceneDataset(datasets)
+
     if cfg.dataset_type == "colmap":
         # COLMAP dense workspaces (reference ColmapDataset dispatch,
         # datasets/__init__.py:15-52); one workspace per "scene" path

@@ -215,6 +215,51 @@ class ColorJitter(Transform):
         return x.astype(img.dtype), depth, Tcw, K, mask
 
 
+class DownSample(Transform):
+    """Resize everything by 1/factor, scaling K (reference transform.py
+    DownSample)."""
+
+    def __init__(self, factor: float = 2.0):
+        self.factor = factor
+
+    def __call__(self, img, depth, Tcw, K, mask=None, params=None):
+        h, w = img.shape[:2]
+        nh, nw = int(h / self.factor), int(w / self.factor)
+        img = cv2.resize(img, (nw, nh), interpolation=cv2.INTER_AREA)
+        depth = cv2.resize(depth, (nw, nh), interpolation=cv2.INTER_NEAREST)
+        if mask is not None:
+            mask = cv2.resize(mask.astype(np.uint8), (nw, nh),
+                              interpolation=cv2.INTER_NEAREST)
+        K = scale_K(K, nw / w, nh / h)
+        return img, depth, Tcw, K, mask
+
+
+class RandomCrop(Transform):
+    """Crop a random sub-window of ratio in [min_ratio, max_ratio], shifting
+    the principal point (reference transform.py RandomCrop:265-291)."""
+
+    def __init__(self, min_ratio: float = 0.8, max_ratio: float = 1.0):
+        self.lo, self.hi = min_ratio, max_ratio
+
+    def sample_params(self, rng):
+        s = float(rng.uniform(self.lo, self.hi))
+        return {"scale": s, "corner": float(rng.uniform(0.0, 1.0 - s))}
+
+    def __call__(self, img, depth, Tcw, K, mask=None, params=None):
+        h, w = img.shape[:2]
+        s, c = params["scale"], params["corner"]
+        x, y = int(w * c), int(h * c)
+        nh, nw = int(h * s), int(w * s)
+        img = img[y: y + nh, x: x + nw]
+        depth = depth[y: y + nh, x: x + nw]
+        if mask is not None:
+            mask = mask[y: y + nh, x: x + nw]
+        K = K.copy()
+        K[0, 2] -= x
+        K[1, 2] -= y
+        return img, depth, Tcw, K, mask
+
+
 class Compose:
     def __init__(self, transforms: List[Transform]):
         self.transforms = transforms
@@ -235,7 +280,8 @@ def build_transforms(spec: List[Dict]) -> Compose:
     """Build from the data-YAML declaration format (reference
     dataset.py:86-99): [{'ResizeAndCrop': {'target_size': 256, ...}}, ...]"""
     reg = {c.__name__: c for c in
-           (ResizeAndCrop, PadToSize, RandomZoom, RandomRotate, ColorJitter)}
+           (ResizeAndCrop, PadToSize, RandomZoom, RandomRotate, ColorJitter,
+            DownSample, RandomCrop)}
     out = []
     for item in spec or []:
         (name, kwargs), = item.items()
