@@ -20,10 +20,7 @@ import argparse
 import json
 import os
 import time
-from typing import Dict
-
 import jax
-import numpy as np
 
 
 def parse_args():
@@ -45,13 +42,12 @@ def parse_args():
 
 
 def main():
-    from ..configs import get_cfg_defaults, load_config, override_cfg_with_args
-    from ..data import build_dataset, device_batch, stack_batches
+    from ..configs import load_config, override_cfg_with_args
+    from ..data import build_dataset, device_batch
     from ..models.pose_estimator import NerfPoseEstimator
     from ..parallel.mesh import MeshSpec, make_mesh, shard_batch
     from ..train import create_train_state, make_eval_step, make_train_step
     from ..train.checkpoint import CheckpointManager, partial_restore
-    from ..utils.metrics import aggregate_per_scene
 
     args = parse_args()
     cfg = load_config(args.config)

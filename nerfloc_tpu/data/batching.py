@@ -8,7 +8,7 @@ pl/train.py:47; here B = mesh 'data' width).
 """
 from __future__ import annotations
 
-from typing import Dict, List, Sequence
+from typing import Dict, Sequence
 
 import numpy as np
 

@@ -17,7 +17,6 @@ fixing its missing-`self` bug). Differences by design (TPU/static shapes):
 """
 from __future__ import annotations
 
-import os
 from dataclasses import dataclass
 from typing import Dict, List, Optional, Sequence
 
@@ -26,7 +25,7 @@ import numpy as np
 from .reader import intrinsic_to_K, load_frame
 from .samplers import CovisibilitySampler, fps_poses
 from .scene_store import SceneStore, _tcw44
-from .transforms import Compose, build_transforms
+from .transforms import Compose
 
 
 def compute_target_mask(points: np.ndarray, K: np.ndarray, w2c: np.ndarray,
