@@ -39,3 +39,11 @@ def get_retrieval_model(name: str):
 @register_retrieval_model("netvlad")
 def _netvlad():
     return NetVLAD()
+
+
+@register_retrieval_model("dir")
+def _dir():
+    # GeM-pooled descriptor (the reference's AP-GeM/DIR wrapper equivalent)
+    from .gem import GeMDescriptor
+
+    return GeMDescriptor()

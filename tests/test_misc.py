@@ -93,3 +93,38 @@ def test_batch_loader_prefetch(tmp_path):
     # different epoch -> different shuffle order is permitted but shapes hold
     b2 = list(loader.epoch(1))
     assert len(b2) == 2
+
+
+def test_gem_descriptor_shapes():
+    import jax
+    import jax.numpy as jnp
+
+    from nerfloc_tpu.retrieval.gem import GeMDescriptor
+
+    m = GeMDescriptor(out_dim=64)
+    x = jnp.linspace(0, 1, 2 * 64 * 64 * 3).reshape(2, 64, 64, 3)
+    params = jax.jit(m.init)(jax.random.PRNGKey(0), x)
+    out = m.apply(params, x)
+    assert out.shape == (2, 64)
+    np.testing.assert_allclose(np.linalg.norm(np.asarray(out), axis=1),
+                               1.0, atol=1e-4)
+
+
+def test_retrieval_strip_vis(tmp_path):
+    import os
+    import sys
+
+    sys.path.insert(0, "tests")
+    from test_data import _write_scene
+
+    from nerfloc_tpu.retrieval.vis import save_retrieval_strips
+
+    root = str(tmp_path)
+    _write_scene(root, scene="box", n_train=4, n_test=2)
+    import pickle
+    with open(os.path.join(root, "box", "image_retrieval_test_netvlad.pkl"),
+              "rb") as f:
+        top_k = pickle.load(f)
+    out = os.path.join(root, "vis")
+    save_retrieval_strips(root, top_k, out, max_queries=2)
+    assert len(os.listdir(out)) >= 1
