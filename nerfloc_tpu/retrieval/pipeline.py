@@ -92,18 +92,19 @@ def evaluate_retrieval(db_poses: Dict[str, np.ndarray],
             float((correct >= n).mean()) for n in (1, 2)}
 
 
-def extract_descriptors_netvlad(frames, base_dir: str, batch: int = 8,
-                                image_size: int = 224,
-                                params=None) -> np.ndarray:
-    """NetVLAD descriptors for a frame list (run.py:83-95)."""
+def extract_descriptors(frames, base_dir: str, method: str = "netvlad",
+                        batch: int = 8, image_size: int = 224,
+                        params=None) -> np.ndarray:
+    """Global descriptors for a frame list (run.py:83-95); the model comes
+    from the plugin registry ('netvlad', 'dir', ...)."""
     import cv2
     import jax
     import jax.numpy as jnp
 
     from ..data.reader import load_image
-    from .netvlad import NetVLAD
+    from . import get_retrieval_model
 
-    model = NetVLAD()
+    model = get_retrieval_model(method)
     rng = jax.random.PRNGKey(0)
     if params is None:
         params = jax.jit(model.init)(
@@ -156,12 +157,10 @@ def run_scene_retrieval(store, method: str, k: int,
     else:
         train_names = [f["file_name"] for f in store.train_frames]
         test_names = [f["file_name"] for f in store.test_frames]
-        d_train = extract_descriptors_netvlad(store.train_frames,
-                                              store.base_dir,
-                                              params=netvlad_params)
-        d_test = extract_descriptors_netvlad(store.test_frames,
-                                             store.base_dir,
-                                             params=netvlad_params)
+        d_train = extract_descriptors(store.train_frames, store.base_dir,
+                                      method=method, params=netvlad_params)
+        d_test = extract_descriptors(store.test_frames, store.base_dir,
+                                     method=method, params=netvlad_params)
         train_to_train = retrieve_top_k(d_train, train_names, d_train,
                                         train_names, k,
                                         interval=interval_train)

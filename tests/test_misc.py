@@ -128,3 +128,30 @@ def test_retrieval_strip_vis(tmp_path):
     out = os.path.join(root, "vis")
     save_retrieval_strips(root, top_k, out, max_queries=2)
     assert len(os.listdir(out)) >= 1
+
+
+def test_run_scene_retrieval_netvlad_end_to_end(tmp_path):
+    """Descriptor-based retrieval through the registry (random-init NetVLAD
+    still produces valid pkls + metrics)."""
+    import os
+    import pickle
+    import sys
+
+    sys.path.insert(0, "tests")
+    from test_data import _write_scene
+
+    from nerfloc_tpu.data.scene_store import SceneStore
+    from nerfloc_tpu.retrieval.pipeline import run_scene_retrieval
+
+    root = str(tmp_path)
+    _write_scene(root, scene="box", n_train=4, n_test=2)
+    store = SceneStore.load(root, "box")
+    m = run_scene_retrieval(store, "netvlad", k=2)
+    assert "Avg-Recall@30.0_0.5_1" in m
+    p = os.path.join(root, "box", "image_retrieval_test_netvlad.pkl")
+    with open(p, "rb") as f:
+        table = pickle.load(f)
+    assert len(table) == 2
+    for q, lst in table.items():
+        assert 1 <= len(lst) <= 2
+        assert q not in lst
