@@ -405,15 +405,27 @@ class NerfPoseEstimator(nn.Module):
         return loss, psnr
 
     def localize_forward(self, batch: Dict[str, Array], rng: Array) -> Dict[str, Array]:
-        """Eval path: match only; PnP runs outside on the returned
-        correspondences (so this stays a pure function of (params, batch))."""
-        ctx, q2d, desc_3d, pts3d, pts3d_ndc, m = self.localize_parts(batch, rng)
+        """Eval path: features -> 3D descriptors -> matching -> on-device
+        PnP-RANSAC, all inside one jittable function (reference estimate +
+        estimate_pose, nerf_pose_estimator.py:408-583, where PnP left the
+        device for pycolmap)."""
+        from ..solve.pnp import ransac_pnp
+
+        rng_kp, rng_pnp = jax.random.split(rng)
+        ctx, q2d, desc_3d, pts3d, pts3d_ndc, m = self.localize_parts(batch, rng_kp)
+        pnp = ransac_pnp(m["mkps2d_f"], m["mkps3d"], m["pair_mask"],
+                         batch["K"], rng_pnp,
+                         thresh_px=self.cfg.ransac_thresh,
+                         n_hyps=self.cfg.shapes.pnp_hypotheses)
         return {
             "mkps2d": m["mkps2d_f"],
             "mkps3d": m["mkps3d"],
             "match_mask": m["pair_mask"],
             "match_j": m["match_j"],
             "score_matrix": m["score_matrix"],
+            "pose": pnp.c2w,
+            "num_inliers": pnp.num_inliers,
+            "pnp_success": pnp.success,
         }
 
     def localize_parts(self, batch: Dict[str, Array], rng: Array):
