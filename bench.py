@@ -72,19 +72,44 @@ def main():
     float(render_chk(params, ctx, rays_o, rays_d, batch["pose"]))  # warm
 
     # NOTE: the remote-TPU (axon) transport's block_until_ready does not
-    # actually wait; a per-call scalar fetch is the only reliable fence.
-    iters = 5
+    # actually wait, and ONE scalar fetch costs a ~27ms RPC round trip. So:
+    # chain the iterations through an on-device accumulator (strict ordering
+    # via the data dependency) and fence ONCE at the end — the round trip
+    # amortizes to ~1ms/iter instead of polluting every sample.
+    iters = 20
+    acc = render_chk(params, ctx, rays_o, rays_d, batch["pose"])
+    float(acc)
     t0 = time.perf_counter()
     for _ in range(iters):
-        float(render_chk(params, ctx, rays_o, rays_d, batch["pose"]))
+        acc = acc + render_chk(params, ctx, rays_o, rays_d, batch["pose"])
+    float(acc)  # single fence drains the whole dispatch queue
     dt = time.perf_counter() - t0
-
     rays_per_sec = n_rays * iters / dt
+
+    # end-to-end localization (features -> 3D desc -> match -> on-device
+    # PnP), the reference's full test-time query (nerf_pose_estimator.py:
+    # 239-583 with pycolmap PnP on CPU; here one XLA program)
+    @jax.jit
+    def localize(params, batch, rng):
+        out = model.apply(params, batch, rng, method=model.localize_forward)
+        return out["pose"]
+
+    pose = localize(params, batch, rng)
+    float(jnp.sum(pose))
+    loc_iters = 10
+    pacc = jnp.float32(0.0)
+    t0 = time.perf_counter()
+    for _ in range(loc_iters):
+        pacc = pacc + jnp.sum(localize(params, batch, rng))
+    float(pacc)
+    loc_ms = (time.perf_counter() - t0) / loc_iters * 1000.0
+
     print(json.dumps({
         "metric": "render_rays_per_sec_per_chip",
         "value": round(rays_per_sec, 1),
         "unit": "rays/s",
         "vs_baseline": round(rays_per_sec / REFERENCE_RAYS_PER_SEC, 3),
+        "localize_ms_per_query": round(loc_ms, 1),
     }))
 
 

@@ -27,6 +27,11 @@ class RenderConfig:
     white_bkgd: bool = False
     use_render_uncertainty: bool = True
     render_feature: bool = True
+    # TPU additions: ray-coherent KNN for the render hot loop (ops/knn.py
+    # knn_rays) — per-ray segment-distance candidate pruning followed by
+    # exact per-sample refinement. 'flat' falls back to per-sample knn.
+    knn_mode: str = "ray"
+    knn_candidates: int = 128
 
 
 @dataclass(frozen=True)

@@ -89,11 +89,14 @@ class MultiviewFeatureAggregator(nn.Module):
             prj_depth[..., None], mean, var, vis_d, aw, sv.near, sv.far)
         return visibility * valid.astype(visibility.dtype), depth_diff
 
-    def __call__(self, sv: SupportViews, featmaps: Array, xyz: Array):
+    def __call__(self, sv: SupportViews, featmaps: Array, xyz: Array,
+                 proj=None):
         """Aggregate per-point multiview features
         (multiview_aggregator.py:156-222).
 
-        Args: featmaps [V, h, w, C] (backbone features); xyz [N, 3].
+        Args: featmaps [V, h, w, C] (backbone features); xyz [N, 3];
+          proj: optional precomputed Projection for xyz (the render loop
+          computes it once and shares it with the validity mask).
         Returns: (out [N, out_channels], rgb_feat [N, V, 3+C], vis [N, V, 1]).
         """
         V, H, W = sv.images.shape[:3]
@@ -103,7 +106,8 @@ class MultiviewFeatureAggregator(nn.Module):
             # backbone level shares the visibility featmaps' resolution
             # (stride-4 'fine' level — the render hot path), sample both in
             # ONE fused pass and split, saving a full multi-view gather pass.
-            proj = compute_projections(xyz, sv.Ks, sv.poses, H, W)
+            if proj is None:
+                proj = compute_projections(xyz, sv.Ks, sv.poses, H, W)
             rgb = jax.vmap(lambda img, uv: bilinear_sample(img, uv))(
                 sv.images, proj.uv)
             h, w = featmaps.shape[1], featmaps.shape[2]

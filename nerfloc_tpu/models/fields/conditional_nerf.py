@@ -28,7 +28,7 @@ from ...geometry.cameras import get_rays, scale_intrinsics, world_to_camera
 from ...geometry.embedder import Embedder
 from ...geometry.math import safe_normalize, safe_sqrt
 from ...ops.interp import resize_nearest
-from ...ops.knn import knn, knn_gather
+from ...ops.knn import knn, knn_gather, knn_rays
 from ..transformer import MultiHeadAttention
 from .aggregator import MultiviewFeatureAggregator, SupportViews
 from .context import NeuralPoints, SceneContext
@@ -151,7 +151,11 @@ class ConditionalNeRF(nn.Module):
             xx, yy = jnp.meshgrid(x, y, indexing="xy")
             pts_cam = jnp.stack([xx * d, yy * d, d], axis=-1)
             pts_w = pts_cam @ c2w[:3, :3].T + c2w[:3, 3]
-            desc = jnp.concatenate([im, feat], axis=-1)
+            # features live in compute dtype (halves the hot-path gather
+            # traffic); geometry (xyz/direction) stays f32 — bf16 offsets of
+            # nearby points cancel catastrophically
+            desc = jnp.concatenate([im.astype(self.dtype),
+                                    feat.astype(self.dtype)], axis=-1)
             direction = jnp.concatenate([rays_d, d[..., None]], axis=-1)
             return (pts_w.reshape(-1, 3), desc.reshape(-1, desc.shape[-1]),
                     direction.reshape(-1, 4), (d > 0).reshape(-1))
@@ -214,28 +218,49 @@ class ConditionalNeRF(nn.Module):
     # ------------------------------------------------------------------
 
     def query(self, ctx: SceneContext, xyz: Array, level: str, K: int,
-              direction: Optional[Array] = None) -> Dict[str, Array]:
-        """Aggregate a descriptor for arbitrary 3D points (model.py:344-436)."""
+              direction: Optional[Array] = None,
+              knn_idx: Optional[Array] = None,
+              proj=None) -> Dict[str, Array]:
+        """Aggregate a descriptor for arbitrary 3D points (model.py:344-436).
+
+        knn_idx: optional precomputed neighbor indices [N, K] (e.g. from the
+        ray-coherent ops.knn.knn_rays); distances are recomputed from the
+        gathered coordinates so gradients still flow.
+        proj: optional precomputed multiview Projection of xyz.
+        """
         cfg = self.cfg
         points = ctx.coarse if level == "coarse" else ctx.fine
         featmaps = ctx.feat_coarse_src if level == "coarse" else ctx.feat_fine_src
 
-        mv_agg, mv_feat, mv_vis = self.multiview_aggregator(ctx.sv, featmaps, xyz)
+        mv_agg, mv_feat, mv_vis = self.multiview_aggregator(ctx.sv, featmaps,
+                                                            xyz, proj=proj)
 
-        dists, idx = knn(xyz, points.xyz, K=K, points_mask=points.mask)
-        dists = safe_sqrt(dists)
+        if knn_idx is None:
+            dists, idx = knn(xyz, points.xyz, K=K, points_mask=points.mask)
+            dists = safe_sqrt(dists)
+        else:
+            idx = knn_idx
+            dists = None
         # ONE packed gather instead of four: TPU gathers are latency-bound
-        # per row, so gathering [xyz|feature|conf|dir] together costs the
-        # same as gathering xyz alone
-        F = points.feature.shape[-1]
-        packed = jnp.concatenate([points.xyz, points.feature,
-                                  points.confidence, points.direction],
-                                 axis=-1)
-        nb = knn_gather(packed, idx)                    # [N, K, 3+F+1+4]
-        nb_xyz = nb[..., :3]
-        nb_feat = nb[..., 3:3 + F]
-        nb_conf = nb[..., 3 + F:4 + F]
-        nb_dir = nb[..., 4 + F:]
+        # per row, so gathering [xyz|dir|conf|mask|feature] together costs
+        # about the same as gathering xyz alone (the mixed-dtype concat
+        # promotes to f32; a bf16/f32 split into two gathers measured slower
+        # in the fused render graph)
+        geo = jnp.concatenate([points.xyz, points.direction,
+                               points.confidence.astype(points.xyz.dtype),
+                               points.mask[:, None].astype(points.xyz.dtype),
+                               points.feature.astype(points.xyz.dtype)],
+                              axis=-1)
+        nbg = knn_gather(geo, idx)                      # [N, K, 9+F]
+        nb_xyz = nbg[..., :3]
+        nb_dir = nbg[..., 3:7]
+        nb_conf = nbg[..., 7:8]
+        nb_feat = nbg[..., 9:].astype(points.feature.dtype)
+        if dists is None:
+            d2 = jnp.sum((xyz[:, None, :] - nb_xyz) ** 2, axis=-1)
+            d2 = jnp.where(nbg[..., -1] > 0.5, d2,
+                           jnp.finfo(d2.dtype).max / 4)  # masked -> huge, as knn()
+            dists = safe_sqrt(d2)
 
         if direction is None:
             direction = nb_dir[:, 0, :]  # model.py:391-392
@@ -246,10 +271,13 @@ class ConditionalNeRF(nn.Module):
         ray_diff = jnp.concatenate([ray_diff, ray_dot], axis=-1)  # [N, K, 4]
 
         scale = ctx.sv.far - ctx.sv.near
+        # sin/cos must be evaluated in f32 — at the highest band the argument
+        # is 2^(multires-1) * x, and a bf16 input error there is O(radians).
+        # Only the OUTPUT is cast down (it lives in [-1, 1]).
         point_feature = self.base_mlp(jnp.concatenate([
             nb_feat,
-            self.xyz_embed(xyz_offset / scale),
-            self.ray_diff_fc(ray_diff),
+            self.xyz_embed(xyz_offset / scale).astype(self.dtype),
+            self.ray_diff_fc(ray_diff.astype(self.dtype)),
         ], axis=-1))  # [N, K, W]
 
         # The reference repeats the SAME multiview-agg query across all K
@@ -353,7 +381,22 @@ class ConditionalNeRF(nn.Module):
             z_vals.reshape(-1, 1),
         ], axis=-1)
 
-        qd = self.query(ctx, xyz_flat, level="fine", K=8, direction=dir_flat)
+        knn_idx = None
+        if cfg.render.knn_mode == "ray":
+            # ray-coherent KNN: per-ray candidate pruning + exact per-sample
+            # refinement — S times less top-k/matmul work than flat KNN over
+            # R*S sample points (ops/knn.py knn_rays)
+            ridx = knn_rays(rays_o, rays_d, z_vals, ctx.fine.xyz, K=8,
+                            points_mask=ctx.fine.mask,
+                            n_candidates=cfg.render.knn_candidates)
+            knn_idx = ridx.reshape(R * N_samples, 8)
+        # ONE multiview projection of all sample points, shared by the
+        # aggregator's sampling pass and the validity mask below (the
+        # reference projects twice, ibrnet.py:169-192 + model.py:563-570)
+        Hs, Ws = ctx.sv.images.shape[1:3]
+        proj = compute_projections(xyz_flat, ctx.sv.Ks, ctx.sv.poses, Hs, Ws)
+        qd = self.query(ctx, xyz_flat, level="fine", K=8, direction=dir_flat,
+                        knn_idx=knn_idx, proj=proj)
         feature_agg = qd["feature_agg"]
         mv_feat = qd["multiview_feature"]
         mv_vis = qd["multiview_visibility"]
@@ -393,9 +436,7 @@ class ConditionalNeRF(nn.Module):
         depth = jnp.sum(weights * z_vals, axis=-1)
         depth_unc = jnp.sum(weights * (z_vals - depth[:, None]) ** 2, axis=-1)
 
-        # validity mask (model.py:563-575)
-        H, W = ctx.sv.images.shape[1:3]
-        proj = compute_projections(xyz_flat, ctx.sv.Ks, ctx.sv.poses, H, W)
+        # validity mask (model.py:563-575), from the shared projection
         valid = (proj.in_front & proj.inbound).astype(jnp.float32).T  # [RN, V]
         valid = valid.reshape(R, N_samples, -1).sum(axis=2) > 1
         # the reference requires >8 valid samples per ray at N_samples=64

@@ -80,16 +80,23 @@ def bilinear_sample(feat: Array, uv: Array, *, padding_mode: str = "border") -> 
     else:
         # small-C maps (rgb, depth): the [N, 2, 2, C] window output gets
         # padded to (8, 128) TPU tiles — a ~40x memory blowup at C=3 that
-        # OOMs HBM at scale. Four row gathers, each freed after use.
-        flat = feat.reshape(H * W, C)
-
-        def g(vi, ui):
-            return jnp.take(flat, vi * W + ui, axis=0)
-
-        out = (g(v0, u0) * (1 - du) * (1 - dv)
-               + g(v0, u0 + 1) * du * (1 - dv)
-               + g(v0 + 1, u0) * (1 - du) * dv
-               + g(v0 + 1, u0 + 1) * du * dv)
+        # OOMs HBM at scale. Instead pack the four corners into channels
+        # ([H, W, 4C], still one lane tile for C<=32) so ONE row gather per
+        # sample fetches the whole 2x2 neighborhood — TPU gathers cost per
+        # row, and this is 4x fewer rows (35ms -> 9ms at 1.3M rows on v5e).
+        # u0/v0 are clamped to size-2, so the roll wraparound rows/cols are
+        # never addressed.
+        packed = jnp.concatenate([
+            feat,
+            jnp.roll(feat, -1, axis=1),
+            jnp.roll(feat, -1, axis=0),
+            jnp.roll(feat, -1, axis=(0, 1)),
+        ], axis=-1).reshape(H * W, 4 * C)
+        g = jnp.take(packed, v0 * W + u0, axis=0)  # [N, 4C]
+        out = (g[:, 0 * C:1 * C] * (1 - du) * (1 - dv)
+               + g[:, 1 * C:2 * C] * du * (1 - dv)
+               + g[:, 2 * C:3 * C] * (1 - du) * dv
+               + g[:, 3 * C:4 * C] * du * dv)
     return out.reshape(shape + (C,))
 
 

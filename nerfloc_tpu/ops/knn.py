@@ -129,6 +129,105 @@ def knn(queries: Array, points: Array, K: int,
     return best_d, best_i
 
 
+@partial(jax.jit, static_argnames=("K", "n_candidates", "tile", "recall_target"))
+def knn_rays(rays_o: Array, rays_d: Array, z_vals: Array, points: Array,
+             K: int, points_mask: Array | None = None,
+             n_candidates: int = 128, tile: int = 8192,
+             recall_target: float = 0.95) -> Array:
+    """Per-sample KNN for all samples of a ray batch, via ray-coherent pruning.
+
+    The render hot loop (reference conditional_nerf/model.py:509-517) runs
+    KNN for R*S sample points against the support cloud — an [R*S, M]
+    problem. But a sample at depth z on ray (o, d) has
+        dist^2(p, z) = line2(p) + |d|^2 * (z - t_p)^2,
+    where t_p = <p - o, d>/|d|^2 and line2 = |p - o|^2 - |d|^2 t_p^2 depend
+    only on (ray, point). So: (1) select `n_candidates` points per RAY by
+    distance to the [z_min, z_max] segment (an [R, M] problem — S times less
+    matmul work), then (2) rank candidates per sample with the closed form
+    and take the exact top-K. Candidate recall is near-1 for depth-coherent
+    clouds (neighbors of adjacent samples overlap heavily); measured in
+    tests/test_ops.py against exact KNN.
+
+    Args:
+      rays_o/rays_d: [R, 3] (rays_d need not be unit); z_vals: [R, S] sample
+      depths; points: [M, 3]; points_mask: optional [M] validity.
+    Returns:
+      idx [R, S, K] int32, ascending by distance (pytorch3d order). Indices
+      only — callers recompute differentiable distances from gathered
+      coordinates (the knn.cu:446-554 backward becomes plain autodiff).
+    """
+    R, S = z_vals.shape
+    M = points.shape[0]
+    dtype = rays_o.dtype
+    if points_mask is None:
+        points_mask = jnp.ones((M,), dtype=bool)
+    BIG = jnp.asarray(jnp.finfo(dtype).max / 4, dtype=dtype)
+
+    d_sq = jnp.sum(rays_d * rays_d, axis=-1)                    # [R]
+    o_sq = jnp.sum(rays_o * rays_o, axis=-1)                    # [R]
+    od = jnp.sum(rays_o * rays_d, axis=-1)                      # [R]
+    z_lo = z_vals[:, 0][:, None]
+    z_hi = z_vals[:, -1][:, None]
+
+    # one tile when the cloud is small enough: the cross-tile merge top_k
+    # costs more than the larger PartialReduce (measured 56ms -> 34ms at
+    # [4096 x 24k] on v5e); the fused [R, tile] block stays well under HBM
+    tile = min(tile * 4, max(tile, M + (-M) % 256))
+    pts = _pad_to_multiple(points, tile, axis=0, value=0.0)
+    msk = _pad_to_multiple(points_mask, tile, axis=0, value=False)
+    n_tiles = pts.shape[0] // tile
+    pts_t = pts.reshape(n_tiles, tile, 3)
+    msk_t = msk.reshape(n_tiles, tile)
+
+    C = n_candidates
+
+    def seg_tile(args):
+        tile_idx, p, m = args
+        # <p, d> and <p, o> via MXU; highest precision — bf16 corrupts
+        # neighbor ordering (see module docstring)
+        pd = jnp.matmul(rays_d, p.T, precision="highest")       # [R, T]
+        po = jnp.matmul(rays_o, p.T, precision="highest")       # [R, T]
+        p_sq = jnp.sum(p * p, axis=-1)[None, :]                 # [1, T]
+        t_p = (pd - od[:, None]) / d_sq[:, None]
+        diff_sq = p_sq - 2.0 * po + o_sq[:, None]               # |p - o|^2
+        line2 = jnp.maximum(diff_sq - d_sq[:, None] * t_p * t_p, 0.0)
+        dz = jnp.clip(t_p, z_lo, z_hi) - t_p
+        seg = line2 + d_sq[:, None] * dz * dz
+        seg = jnp.where(m[None, :], seg, BIG)
+        nd, idx = jax.lax.approx_min_k(seg, C, recall_target=recall_target)
+        return nd, (idx + tile_idx * tile).astype(jnp.int32)
+
+    tile_ids = jnp.arange(n_tiles, dtype=jnp.int32)
+    # lax.map keeps each [R, tile] segment-distance block fused into the
+    # approx_min_k PartialReduce window (same rationale as knn() above)
+    nd, idx = jax.lax.map(seg_tile, (tile_ids, pts_t, msk_t))
+    if n_tiles == 1:
+        seg_c, cand_idx = nd[0], idx[0]
+    else:
+        nd = jnp.moveaxis(nd, 0, 1).reshape(R, n_tiles * C)
+        idx = jnp.moveaxis(idx, 0, 1).reshape(R, n_tiles * C)
+        neg, arg = jax.lax.top_k(-nd, C)
+        seg_c = -neg
+        cand_idx = jnp.take_along_axis(idx, arg, axis=1)        # [R, C]
+    cand_valid = seg_c < BIG * 0.5
+
+    # exact per-sample refinement over the C candidates
+    cand_pts = jnp.take(points, jnp.maximum(cand_idx, 0), axis=0)  # [R, C, 3]
+    u = cand_pts - rays_o[:, None, :]
+    t_p = jnp.sum(u * rays_d[:, None, :], axis=-1) / d_sq[:, None]   # [R, C]
+    line2 = jnp.maximum(
+        jnp.sum(u * u, axis=-1) - d_sq[:, None] * t_p * t_p, 0.0)
+    dz = z_vals[:, :, None] - t_p[:, None, :]                   # [R, S, C]
+    d2 = line2[:, None, :] + d_sq[:, None, None] * dz * dz
+    d2 = jnp.where(cand_valid[:, None, :], d2, BIG)
+    # key-value sort over the (lane-resident) candidate axis beats lax.top_k
+    # (which lowers to a full variadic sort with worse layout): 4ms vs 83ms
+    # at [4096, 64, 128] on v5e
+    gidx = jnp.broadcast_to(cand_idx[:, None, :], d2.shape)
+    _, sidx = jax.lax.sort([d2, gidx], num_keys=1, dimension=2)
+    return sidx[..., :K]
+
+
 def knn_gather(features: Array, idx: Array) -> Array:
     """Gather [M, C] features at [N, K] indices -> [N, K, C].
 

@@ -145,3 +145,50 @@ def test_sample_pdf_concentrates():
     # bin 4 spans [1.5, 1.625]; nearly all samples should land inside
     frac = ((s >= 1.45) & (s <= 1.7)).mean()
     assert frac > 0.8
+
+def test_render_ray_knn_matches_flat(field_and_ctx):
+    """knn_mode='ray' (ray-coherent candidate pruning) must reproduce the
+    flat per-sample KNN render to float tolerance on a scene where the
+    candidate set is exhaustive (n_candidates >= cloud size)."""
+    cfg, model, variables, ctx = field_and_ctx
+    R = 6
+    pose = ctx.sv.poses[0]
+    rays_o = jnp.broadcast_to(pose[:3, 3], (R, 3))
+    d = jnp.stack([jnp.linspace(-0.1, 0.1, R), jnp.zeros(R), jnp.ones(R)], -1)
+    rays_d = d / jnp.linalg.norm(d, axis=-1, keepdims=True)
+
+    cfg_flat = dataclasses.replace(
+        cfg, render=dataclasses.replace(cfg.render, knn_mode="flat"))
+    cfg_ray = dataclasses.replace(
+        cfg, render=dataclasses.replace(
+            cfg.render, knn_mode="ray",
+            knn_candidates=ctx.fine.xyz.shape[0]))
+    out_flat = ConditionalNeRF(cfg_flat).apply(
+        variables, ctx, rays_o, rays_d, pose, False, method="render_rays")
+    out_ray = ConditionalNeRF(cfg_ray).apply(
+        variables, ctx, rays_o, rays_d, pose, False, method="render_rays")
+    np.testing.assert_allclose(np.asarray(out_ray["rgb"]),
+                               np.asarray(out_flat["rgb"]), atol=2e-5)
+    np.testing.assert_allclose(np.asarray(out_ray["depth"]),
+                               np.asarray(out_flat["depth"]), atol=2e-5)
+
+
+def test_render_ray_knn_pruned_close(field_and_ctx):
+    """With a realistic (pruned) candidate budget the render must stay very
+    close to the exact-KNN render — neighbor recall losses only perturb the
+    farthest of K=8 neighbors, whose aggregation weight ~ 1/dist is minimal."""
+    cfg, model, variables, ctx = field_and_ctx
+    R = 6
+    pose = ctx.sv.poses[0]
+    rays_o = jnp.broadcast_to(pose[:3, 3], (R, 3))
+    d = jnp.stack([jnp.linspace(-0.1, 0.1, R), jnp.zeros(R), jnp.ones(R)], -1)
+    rays_d = d / jnp.linalg.norm(d, axis=-1, keepdims=True)
+
+    cfg_flat = dataclasses.replace(
+        cfg, render=dataclasses.replace(cfg.render, knn_mode="flat"))
+    out_flat = ConditionalNeRF(cfg_flat).apply(
+        variables, ctx, rays_o, rays_d, pose, False, method="render_rays")
+    out_ray = ConditionalNeRF(cfg).apply(
+        variables, ctx, rays_o, rays_d, pose, False, method="render_rays")
+    np.testing.assert_allclose(np.asarray(out_ray["rgb"]),
+                               np.asarray(out_flat["rgb"]), atol=5e-3)

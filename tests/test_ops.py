@@ -102,3 +102,73 @@ def test_bilinear_views_vmap():
     assert out.shape == (3, 10, 4)
     one = bilinear_sample(feats[1], uv[1])
     np.testing.assert_allclose(np.asarray(out[1]), np.asarray(one), atol=1e-6)
+
+
+def _synthetic_ray_scene(seed=6, R=32, S=16, M=2000):
+    """Depth-coherent cloud (a noisy surface in front of the camera) plus
+    camera rays through it — the geometry knn_rays is built for."""
+    rng = np.random.default_rng(seed)
+    pts = np.stack([
+        rng.uniform(-2, 2, M),
+        rng.uniform(-2, 2, M),
+        rng.uniform(1.0, 5.0, M),
+    ], -1).astype(np.float32)
+    rays_o = np.zeros((R, 3), np.float32) + rng.normal(0, 0.05, (R, 3)).astype(np.float32)
+    dirs = np.stack([
+        rng.uniform(-0.4, 0.4, R), rng.uniform(-0.4, 0.4, R), np.ones(R)
+    ], -1).astype(np.float32)
+    z = np.linspace(1.0, 5.0, S, dtype=np.float32)
+    z_vals = np.broadcast_to(z, (R, S)).copy()
+    return rays_o, dirs, z_vals, pts
+
+
+def test_knn_rays_recall():
+    from nerfloc_tpu.ops import knn_rays
+
+    rays_o, rays_d, z_vals, pts = _synthetic_ray_scene()
+    R, S = z_vals.shape
+    idx = np.asarray(knn_rays(jnp.asarray(rays_o), jnp.asarray(rays_d),
+                              jnp.asarray(z_vals), jnp.asarray(pts), K=8,
+                              n_candidates=128, tile=512))
+    # exact per-sample KNN for every (ray, sample)
+    samples = rays_o[:, None, :] + rays_d[:, None, :] * z_vals[..., None]
+    _, exact = brute_knn(samples.reshape(-1, 3), pts, 8)
+    exact = exact.reshape(R, S, 8)
+    recall = np.mean([
+        len(set(idx[r, s]) & set(exact[r, s])) / 8.0
+        for r in range(R) for s in range(S)
+    ])
+    assert recall >= 0.995, f"knn_rays recall {recall:.4f}"
+
+
+def test_knn_rays_masked():
+    from nerfloc_tpu.ops import knn_rays
+
+    rays_o, rays_d, z_vals, pts = _synthetic_ray_scene(seed=7, M=800)
+    rng = np.random.default_rng(8)
+    mask = rng.uniform(size=800) > 0.4
+    idx = np.asarray(knn_rays(jnp.asarray(rays_o), jnp.asarray(rays_d),
+                              jnp.asarray(z_vals), jnp.asarray(pts), K=4,
+                              points_mask=jnp.asarray(mask),
+                              n_candidates=48, tile=256))
+    assert mask[idx].all(), "knn_rays returned masked points"
+
+
+def test_knn_rays_nonunit_dirs():
+    """The closed form must hold for non-normalized ray directions (pixel
+    rays through K are not unit length)."""
+    from nerfloc_tpu.ops import knn_rays
+
+    rays_o, rays_d, z_vals, pts = _synthetic_ray_scene(seed=9, R=8, S=8, M=500)
+    scale = np.linspace(0.5, 2.0, 8, dtype=np.float32)[:, None]
+    idx1 = np.asarray(knn_rays(jnp.asarray(rays_o), jnp.asarray(rays_d * scale),
+                               jnp.asarray(z_vals / scale), jnp.asarray(pts),
+                               K=4, n_candidates=64, tile=256))
+    samples = rays_o[:, None, :] + (rays_d * scale)[:, None, :] * (z_vals / scale)[..., None]
+    _, exact = brute_knn(samples.reshape(-1, 3), pts, 4)
+    exact = exact.reshape(8, 8, 4)
+    recall = np.mean([
+        len(set(idx1[r, s]) & set(exact[r, s])) / 4.0
+        for r in range(8) for s in range(8)
+    ])
+    assert recall >= 0.99, f"non-unit dirs recall {recall:.4f}"
