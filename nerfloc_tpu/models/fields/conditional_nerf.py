@@ -500,8 +500,15 @@ class ConditionalNeRF(nn.Module):
 def sample_pdf_det(bins: Array, weights: Array, N_importance: int,
                    eps: float = 1e-5) -> Array:
     """Deterministic inverse-CDF sampling (sample_pdf, reference
-    conditional_nerf/utils.py:73-112 with det=True)."""
+    conditional_nerf/utils.py:73-112 with det=True).
+
+    bins: [R, M+1] bin EDGES; weights: [R, M] — one fewer, exactly the
+    reference contract (its caller passes z_mid[63] with weights[62],
+    model.py:487-496). Golden-tested against the torch original in
+    tests/test_golden_parity.py.
+    """
     R, M = weights.shape
+    assert bins.shape[1] == M + 1, (bins.shape, weights.shape)
     weights = weights + eps
     pdf = weights / jnp.sum(weights, axis=-1, keepdims=True)
     cdf = jnp.cumsum(pdf, axis=-1)
@@ -515,8 +522,8 @@ def sample_pdf_det(bins: Array, weights: Array, N_importance: int,
 
     cdf_b = jnp.take_along_axis(cdf, below, axis=1)
     cdf_a = jnp.take_along_axis(cdf, above, axis=1)
-    bins_b = jnp.take_along_axis(bins, jnp.clip(below, max=M - 1), axis=1)
-    bins_a = jnp.take_along_axis(bins, jnp.clip(above, max=M - 1), axis=1)
+    bins_b = jnp.take_along_axis(bins, below, axis=1)
+    bins_a = jnp.take_along_axis(bins, above, axis=1)
 
     denom = cdf_a - cdf_b
     denom = jnp.where(denom < eps, 1.0, denom)

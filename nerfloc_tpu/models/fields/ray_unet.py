@@ -41,7 +41,12 @@ class ConvBlock(nn.Module):
     @nn.compact
     def __call__(self, x: Array) -> Array:
         if self.transpose:
-            x = nn.ConvTranspose(self.features, (3,), strides=(2,), padding="SAME",
+            # padding (1, 2) reproduces torch ConvTranspose1d(3, stride=2,
+            # padding=1, output_padding=1) exactly (reference ray_unet.py:
+            # 31-44); flax 'SAME' is offset by one sample (verified in
+            # tests/test_golden_parity.py)
+            x = nn.ConvTranspose(self.features, (3,), strides=(2,),
+                                 padding=((1, 2),),
                                  dtype=self.dtype, name="conv")(x)
         else:
             x = nn.Conv(self.features, (3,), padding="SAME", dtype=self.dtype,
