@@ -22,14 +22,18 @@ VGG16_CFG = (64, 64, "M", 128, 128, "M", 256, 256, 256, "M",
 
 class VGG16Conv(nn.Module):
     """VGG16 features through conv5_3 (no final pool), ReLU except last
-    (the reference strips the last ReLU, netvlad.py:90-92)."""
+    (the reference strips the last ReLU, netvlad.py:90-92).
+
+    cfg: channel widths / pool markers; overridable so ported checkpoints
+    define the widths (tests use scaled-down ones)."""
+    cfg: tuple = VGG16_CFG
     dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x: Array) -> Array:
         conv_idx = 0
-        n_convs = sum(1 for c in VGG16_CFG if c != "M")
-        for c in VGG16_CFG:
+        n_convs = sum(1 for c in self.cfg if c != "M")
+        for c in self.cfg:
             if c == "M":
                 x = nn.max_pool(x, (2, 2), strides=(2, 2))
             else:
@@ -42,19 +46,27 @@ class VGG16Conv(nn.Module):
 
 
 class NetVLAD(nn.Module):
-    """Returns L2-normalized global descriptors [B, out_dim]."""
+    """Returns L2-normalized global descriptors [B, out_dim].
+
+    Preprocessing is configurable because the MatConvNet checkpoints operate
+    on 0-255 pixels minus the training-set average image (reference
+    netvlad.py:126-139 multiplies by 255 then subtracts meta.averageImage);
+    from-scratch training uses [0,1] inputs with the ImageNet mean.
+    """
     num_clusters: int = 64
     out_dim: int = 4096
     whiten: bool = True
+    input_scale: float = 1.0
+    pixel_mean: tuple = (0.485, 0.456, 0.406)
+    vgg_cfg: tuple = VGG16_CFG
     dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, images: Array) -> Array:
         """images [B, H, W, 3] in [0, 1]."""
-        # the MatConvNet model subtracts the average image (netvlad.py:126)
-        mean = jnp.asarray([0.485, 0.456, 0.406], dtype=images.dtype)
-        x = images - mean
-        feat = VGG16Conv(dtype=self.dtype, name="backbone")(x)  # [B,h,w,512]
+        mean = jnp.asarray(self.pixel_mean, dtype=images.dtype)
+        x = jnp.clip(images * self.input_scale, 0.0, self.input_scale) - mean
+        feat = VGG16Conv(cfg=self.vgg_cfg, dtype=self.dtype, name="backbone")(x)  # [B,h,w,512]
         B, h, w, C = feat.shape
         feat = feat.reshape(B, h * w, C)
         # descriptor-space L2 norm before VLAD (netvlad.py:102)

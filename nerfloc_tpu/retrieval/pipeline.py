@@ -94,9 +94,13 @@ def evaluate_retrieval(db_poses: Dict[str, np.ndarray],
 
 def extract_descriptors(frames, base_dir: str, method: str = "netvlad",
                         batch: int = 8, image_size: int = 224,
-                        params=None) -> np.ndarray:
+                        params=None, ckpt: str = None) -> np.ndarray:
     """Global descriptors for a frame list (run.py:83-95); the model comes
-    from the plugin registry ('netvlad', 'dir', ...)."""
+    from the plugin registry ('netvlad', 'dir', ...).
+
+    ckpt: for 'netvlad', path to an hloc MatConvNet `*_struct.mat`
+    checkpoint (reference netvlad.py:45-157); loads pretrained weights and
+    the matching 0-255 preprocessing via netvlad_weights."""
     import cv2
     import jax
     import jax.numpy as jnp
@@ -104,7 +108,12 @@ def extract_descriptors(frames, base_dir: str, method: str = "netvlad",
     from ..data.reader import load_image
     from . import get_retrieval_model
 
-    model = get_retrieval_model(method)
+    if ckpt is not None and method == "netvlad":
+        from .netvlad_weights import load_matconvnet_netvlad
+
+        model, params = load_matconvnet_netvlad(ckpt)
+    else:
+        model = get_retrieval_model(method)
     rng = jax.random.PRNGKey(0)
     if params is None:
         params = jax.jit(model.init)(
@@ -133,7 +142,7 @@ def extract_descriptors(frames, base_dir: str, method: str = "netvlad",
 
 def run_scene_retrieval(store, method: str, k: int,
                         interval_train: int = 1, interval_test: int = 1,
-                        netvlad_params=None) -> Dict[str, Dict]:
+                        netvlad_params=None, ckpt: str = None) -> Dict[str, Dict]:
     """Produce + dump both pkls for one SceneStore. Returns metrics."""
     from .pipeline import evaluate_retrieval  # self-import for clarity
 
@@ -158,9 +167,11 @@ def run_scene_retrieval(store, method: str, k: int,
         train_names = [f["file_name"] for f in store.train_frames]
         test_names = [f["file_name"] for f in store.test_frames]
         d_train = extract_descriptors(store.train_frames, store.base_dir,
-                                      method=method, params=netvlad_params)
+                                      method=method, params=netvlad_params,
+                                      ckpt=ckpt)
         d_test = extract_descriptors(store.test_frames, store.base_dir,
-                                     method=method, params=netvlad_params)
+                                     method=method, params=netvlad_params,
+                                     ckpt=ckpt)
         train_to_train = retrieve_top_k(d_train, train_names, d_train,
                                         train_names, k,
                                         interval=interval_train)
