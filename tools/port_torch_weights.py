@@ -63,6 +63,66 @@ def resnet50_trunk_maps(sd: Dict[str, np.ndarray]):
     return params, frozen
 
 
+def fpn_maps(sd: Dict[str, np.ndarray], names=("layer1", "layer2"),
+             prefix: str = "fpn.") -> Dict:
+    """flax params subtree for models.backbone.FPN from torchvision
+    FeaturePyramidNetwork names (reference COTR/fpn.py:181-193;
+    Conv2dNormActivation puts the conv at index 0 and the param-free
+    InstanceNorm at index 1). Accepts both the v2 ('inner_blocks.i.0.weight')
+    and pre-v2 ('inner_blocks.i.weight') torchvision layouts."""
+    params: Dict = {}
+    for i, n in enumerate(names):
+        for block, ours in (("inner_blocks", f"inner_{n}"),
+                            ("layer_blocks", f"layer_{n}")):
+            for key in (f"{prefix}{block}.{i}.0.weight",
+                        f"{prefix}{block}.{i}.weight"):
+                if key in sd:
+                    params[ours] = {"kernel": _conv(sd[key])}
+                    break
+            else:
+                raise KeyError(f"no FPN weight for {block}[{i}] under {prefix}")
+    return params
+
+
+def port_cotr_checkpoint(model_state_dict: Dict[str, np.ndarray], variables,
+                         backbone_path=("backbone2d",)):
+    """Initialize the full Backbone2D (trunk + FPN when present) from a COTR
+    checkpoint's model_state_dict (reference backbone2d.py:143-158: keys
+    filtered to 'backbone', 'backbone.0.' stripped, loaded strict=False —
+    FPN weights may be absent, in which case the random init is kept)."""
+    sd = {k.replace("backbone.0.", ""): v
+          for k, v in model_state_dict.items() if "backbone" in k}
+    trunk_sd = {k.replace("body.", "", 1): v
+                for k, v in sd.items() if k.startswith("body.")}
+    variables = port_resnet50_trunk(trunk_sd, variables,
+                                    trunk_path=backbone_path + ("trunk",))
+    if any(k.startswith("fpn.") for k in sd):
+        fpn = fpn_maps(sd)
+        variables["params"] = _replace_subtree(
+            _to_mutable(variables["params"]), backbone_path + ("fpn",), fpn)
+    return variables
+
+
+def _replace_subtree(tree, path, sub):
+    node = tree
+    for k in path[:-1]:
+        node = node[k]
+    node[path[-1]] = _merge_subtree_checked(node[path[-1]], sub)
+    return tree
+
+
+def _merge_subtree_checked(dst, src):
+    out = dict(dst)
+    for k, v in src.items():
+        if isinstance(v, dict):
+            out[k] = _merge_subtree_checked(dst[k], v)
+        else:
+            assert np.shape(dst[k]) == np.shape(v), \
+                f"shape mismatch at {k}: {np.shape(dst[k])} vs {np.shape(v)}"
+            out[k] = np.asarray(v, dtype=np.float32)
+    return out
+
+
 def port_resnet50_trunk(sd: Dict[str, np.ndarray], variables,
                         trunk_path=("backbone2d", "trunk")):
     """Return a copy of `variables` with the trunk weights replaced.
