@@ -103,9 +103,17 @@ def main():
                         cv2.cvtColor(over, cv2.COLOR_RGB2BGR))
 
     if cfg.vis_rendering:
-        results["render"] = render_eval(model, params, cfg, test_ds,
-                                        out_dir=os.path.dirname(args.out)
-                                        if args.out else "renders")
+        render = render_eval(model, params, cfg, test_ds,
+                             out_dir=os.path.dirname(args.out)
+                             if args.out else "renders")
+        results["render"] = render
+        # fold render PSNR into the per-scene table (reference pl/model.py:
+        # 192-261 reports psnr alongside pose metrics)
+        for scene, p in render.get("psnr_per_scene", {}).items():
+            if scene in results:
+                results[scene]["psnr"] = p
+        if render.get("psnr_mean") is not None and "avg" in results:
+            results["avg"]["psnr"] = render["psnr_mean"]
     print(json.dumps(results, indent=2))
     if args.out:
         os.makedirs(os.path.dirname(args.out) or ".", exist_ok=True)
@@ -135,7 +143,7 @@ def render_eval(model, params, cfg, test_ds, out_dir: str = "renders"):
                                            H, W)
         return model.apply(params, method=f)
 
-    psnrs = []
+    psnrs, psnr_scenes = [], []
     for i in range(0, len(test_ds), max(cfg.test_render_interval, 1)):
         item = test_ds[i]
         batch = {k: jnp.asarray(v) for k, v in device_batch(item).items()}
@@ -144,6 +152,7 @@ def render_eval(model, params, cfg, test_ds, out_dir: str = "renders"):
         psnr = float(mse2psnr(img2mse(out["rgb"], batch["image"],
                                       mask=mask)))
         psnrs.append(psnr)
+        psnr_scenes.append(item.get("scene", ""))
         try:
             import cv2
 
@@ -158,7 +167,12 @@ def render_eval(model, params, cfg, test_ds, out_dir: str = "renders"):
         except Exception as e:  # vis failures don't fail the eval
             print(f"render dump failed: {e}")
         print(f"render {i}: psnr={psnr:.2f}")
+    per_scene = {}
+    for s in set(psnr_scenes):
+        vals = [p for p, sc in zip(psnrs, psnr_scenes) if sc == s]
+        per_scene[s] = float(np.mean(vals))
     return {"psnr_mean": float(np.mean(psnrs)) if psnrs else None,
+            "psnr_per_scene": per_scene,
             "n_rendered": len(psnrs)}
 
 

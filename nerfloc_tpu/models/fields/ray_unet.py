@@ -32,6 +32,33 @@ class LayerNormSC(nn.Module):
         return y * scale + bias
 
 
+class Conv1dMM(nn.Module):
+    """k=3 'SAME' Conv1d as an explicit im2col matmul.
+
+    Numerically and parameter-identical to nn.Conv(features, (3,),
+    padding='SAME') — kernel [3, Cin, Cout], bias [Cout] — but lowered as
+    ONE [R*S, 3Cin] x [3Cin, Cout] MXU matmul: XLA's native conv pick for
+    these skinny shapes runs 10x slower (41ms vs 4ms for 128->64 over
+    [4096, 64] rays x samples on v5e).
+    """
+    features: int
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: Array) -> Array:  # [R, S, C]
+        C = x.shape[-1]
+        kernel = self.param("kernel", nn.initializers.lecun_normal(),
+                            (3, C, self.features))
+        bias = self.param("bias", nn.initializers.zeros, (self.features,))
+        shifted = jnp.concatenate([
+            jnp.pad(x, ((0, 0), (1, 0), (0, 0)))[:, :-1],   # x[i-1]
+            x,
+            jnp.pad(x, ((0, 0), (0, 1), (0, 0)))[:, 1:],    # x[i+1]
+        ], axis=-1).astype(self.dtype)
+        w = kernel.reshape(3 * C, self.features).astype(self.dtype)
+        return shifted @ w + bias.astype(self.dtype)
+
+
 class ConvBlock(nn.Module):
     features: int
     samples: int
@@ -49,8 +76,7 @@ class ConvBlock(nn.Module):
                                  padding=((1, 2),),
                                  dtype=self.dtype, name="conv")(x)
         else:
-            x = nn.Conv(self.features, (3,), padding="SAME", dtype=self.dtype,
-                        name="conv")(x)
+            x = Conv1dMM(self.features, dtype=self.dtype, name="conv")(x)
         x = LayerNormSC(self.samples, self.features, name="ln")(x)
         return nn.elu(x)
 

@@ -100,6 +100,51 @@ def bilinear_sample(feat: Array, uv: Array, *, padding_mode: str = "border") -> 
     return out.reshape(shape + (C,))
 
 
+def pack_bilinear_corners(feats: Array) -> Array:
+    """[V, H, W, C] -> flat packed 4-corner table [V*H*W, 4C].
+
+    Row (v*W*H + y*W + x) holds the 2x2 neighborhood at (y, x):
+    [feat[y,x] | feat[y,x+1] | feat[y+1,x] | feat[y+1,x+1]]. Built ONCE per
+    query frame (SceneContext) so the render hot loop samples all views with
+    a single flat row gather — the vmapped per-view gather XLA emits for
+    bilinear_sample_views runs ~6x slower than one flat jnp.take at
+    [1.3M rows x 896ch] on v5e (66ms -> 11ms). Wraparound rows/cols from the
+    rolls are never addressed: sample coords clamp to size-2.
+    """
+    V, H, W, C = feats.shape
+    packed = jnp.concatenate([
+        feats,
+        jnp.roll(feats, -1, axis=2),
+        jnp.roll(feats, -1, axis=1),
+        jnp.roll(feats, -1, axis=(1, 2)),
+    ], axis=-1)
+    return packed.reshape(V * H * W, 4 * C)
+
+
+def packed_bilinear_sample_views(packed: Array, H: int, W: int,
+                                 uv: Array) -> Array:
+    """Sample a pack_bilinear_corners table at [V, N, 2] pixel coords.
+
+    Border-mode / align_corners=True semantics identical to
+    bilinear_sample(..., padding_mode='border'). Returns [V, N, C].
+    """
+    V, N = uv.shape[0], uv.shape[1]
+    C4 = packed.shape[-1]
+    C = C4 // 4
+    u = jnp.clip(uv[..., 0], 0.0, W - 1)
+    v = jnp.clip(uv[..., 1], 0.0, H - 1)
+    u0 = jnp.clip(jnp.floor(u), 0, W - 2).astype(jnp.int32)
+    v0 = jnp.clip(jnp.floor(v), 0, H - 2).astype(jnp.int32)
+    du = (u - u0).reshape(-1, 1).astype(packed.dtype)
+    dv = (v - v0).reshape(-1, 1).astype(packed.dtype)
+    base = (jnp.arange(V, dtype=jnp.int32) * (H * W))[:, None]
+    idx = (base + v0 * W + u0).reshape(-1)
+    g = jnp.take(packed, idx, axis=0)                   # [V*N, 4C]
+    top = g[:, :C] * (1 - du) + g[:, C:2 * C] * du
+    bot = g[:, 2 * C:3 * C] * (1 - du) + g[:, 3 * C:] * du
+    return (top * (1 - dv) + bot * dv).reshape(V, N, C)
+
+
 def bilinear_sample_views(feats: Array, uv: Array, *, padding_mode: str = "border") -> Array:
     """vmap of bilinear_sample over a leading view axis.
 

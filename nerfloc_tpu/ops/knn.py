@@ -129,11 +129,13 @@ def knn(queries: Array, points: Array, K: int,
     return best_d, best_i
 
 
-@partial(jax.jit, static_argnames=("K", "n_candidates", "tile", "recall_target"))
+@partial(jax.jit, static_argnames=("K", "n_candidates", "tile",
+                                   "recall_target", "selection_dtype"))
 def knn_rays(rays_o: Array, rays_d: Array, z_vals: Array, points: Array,
              K: int, points_mask: Array | None = None,
              n_candidates: int = 128, tile: int = 8192,
-             recall_target: float = 0.95) -> Array:
+             recall_target: float = 0.95,
+             selection_dtype=jnp.bfloat16) -> Array:
     """Per-sample KNN for all samples of a ray batch, via ray-coherent pruning.
 
     The render hot loop (reference conditional_nerf/model.py:509-517) runs
@@ -169,31 +171,53 @@ def knn_rays(rays_o: Array, rays_d: Array, z_vals: Array, points: Array,
     z_lo = z_vals[:, 0][:, None]
     z_hi = z_vals[:, -1][:, None]
 
+    # Candidate SELECTION can run in bf16 (selection_dtype): only membership
+    # in the C-candidate set matters — the per-sample refinement below
+    # re-ranks candidates with exact f32 distances — and bf16 rank noise
+    # lives near the selection boundary, not among the K=8 winners. Halves
+    # the [R, M] block traffic and runs the matmuls at full MXU rate; costs
+    # ~1% candidate recall at C=128 (recovered by a modestly larger C; see
+    # tests/test_ops.py recall checks). Centering the cloud first keeps
+    # |p - o| small so bf16 cancellation stays benign.
+    sd = selection_dtype
+    center = jnp.mean(points, axis=0)
+    pts_c = (points - center).astype(sd)
+    rays_o_c = (rays_o - center).astype(sd)
+    rays_d_b = rays_d.astype(sd)
+    o_sq_b = jnp.sum((rays_o - center).astype(jnp.float32) ** 2,
+                     axis=-1).astype(sd)
+    od_b = jnp.sum((rays_o - center) * rays_d, axis=-1).astype(sd)
+    d_sq_b = d_sq.astype(sd)
+
     # one tile when the cloud is small enough: the cross-tile merge top_k
     # costs more than the larger PartialReduce (measured 56ms -> 34ms at
     # [4096 x 24k] on v5e); the fused [R, tile] block stays well under HBM
     tile = min(tile * 4, max(tile, M + (-M) % 256))
-    pts = _pad_to_multiple(points, tile, axis=0, value=0.0)
+    pts = _pad_to_multiple(pts_c, tile, axis=0, value=0.0)
     msk = _pad_to_multiple(points_mask, tile, axis=0, value=False)
     n_tiles = pts.shape[0] // tile
     pts_t = pts.reshape(n_tiles, tile, 3)
     msk_t = msk.reshape(n_tiles, tile)
 
     C = n_candidates
+    BIG16 = jnp.asarray(3e38, jnp.float32).astype(sd)
+    zlo16 = z_lo.astype(sd)
+    zhi16 = z_hi.astype(sd)
+
+    prec = "highest" if sd == jnp.float32 else None
 
     def seg_tile(args):
         tile_idx, p, m = args
-        # <p, d> and <p, o> via MXU; highest precision — bf16 corrupts
-        # neighbor ordering (see module docstring)
-        pd = jnp.matmul(rays_d, p.T, precision="highest")       # [R, T]
-        po = jnp.matmul(rays_o, p.T, precision="highest")       # [R, T]
-        p_sq = jnp.sum(p * p, axis=-1)[None, :]                 # [1, T]
-        t_p = (pd - od[:, None]) / d_sq[:, None]
-        diff_sq = p_sq - 2.0 * po + o_sq[:, None]               # |p - o|^2
-        line2 = jnp.maximum(diff_sq - d_sq[:, None] * t_p * t_p, 0.0)
-        dz = jnp.clip(t_p, z_lo, z_hi) - t_p
-        seg = line2 + d_sq[:, None] * dz * dz
-        seg = jnp.where(m[None, :], seg, BIG)
+        pd = jnp.matmul(rays_d_b, p.T, precision=prec)          # [R, T]
+        po = jnp.matmul(rays_o_c, p.T, precision=prec)          # [R, T]
+        p_sq = jnp.sum(p.astype(jnp.float32) ** 2,
+                       axis=-1).astype(jnp.bfloat16)[None, :]   # [1, T]
+        t_p = (pd - od_b[:, None]) / d_sq_b[:, None]
+        diff_sq = p_sq - 2.0 * po + o_sq_b[:, None]             # |p - o|^2
+        line2 = jnp.maximum(diff_sq - d_sq_b[:, None] * t_p * t_p, 0)
+        dz = jnp.clip(t_p, zlo16, zhi16) - t_p
+        seg = line2 + d_sq_b[:, None] * dz * dz
+        seg = jnp.where(m[None, :], seg, BIG16)
         nd, idx = jax.lax.approx_min_k(seg, C, recall_target=recall_target)
         return nd, (idx + tile_idx * tile).astype(jnp.int32)
 
@@ -209,7 +233,7 @@ def knn_rays(rays_o: Array, rays_d: Array, z_vals: Array, points: Array,
         neg, arg = jax.lax.top_k(-nd, C)
         seg_c = -neg
         cand_idx = jnp.take_along_axis(idx, arg, axis=1)        # [R, C]
-    cand_valid = seg_c < BIG * 0.5
+    cand_valid = seg_c.astype(jnp.float32) < 1.4e38
 
     # exact per-sample refinement over the C candidates
     cand_pts = jnp.take(points, jnp.maximum(cand_idx, 0), axis=0)  # [R, C, 3]

@@ -14,8 +14,13 @@ logical axes:
          conditional_nerf/model.py:616-635). Rays of one image are sharded
          across the `ray` axis and gathered at the end.
 
-The eval all_gather_object (reference pl/model.py:194-197) becomes
-`jax.experimental.multihost_utils.process_allgather` of metric arrays.
+The eval all_gather_object (reference pl/model.py:194-197) is unnecessary on
+a single host: the jitted eval step already returns globally-addressable
+outputs, and train/evaluate.py reduces them in one process. A multi-host
+deployment would shard the test set per process and
+`multihost_utils.process_allgather` the per-query metric arrays before
+aggregate_per_scene — not implemented (this environment is single-host;
+see train/evaluate.py guard).
 """
 from __future__ import annotations
 

@@ -126,11 +126,22 @@ def make_eval_step(model, cfg: Config, mesh: Mesh) -> Callable:
                                r_ref, max_steps=50, lr=1e-3)
 
         rot_err, trans_err = compute_pose_error(pose, b["pose"])
+
+        # test-time matching IoU vs GT-pose projection pairs (reference logs
+        # this in test_step too, pl/model.py:111-112)
+        H, W = b["image"].shape[0], b["image"].shape[1]
+        j_gt, gt_mask, _ = model.apply(
+            params, pts3d, b["depth"], b["K"], b["pose"], H, W,
+            q2d["stride_coarse"], cfg.matching.coarse_matching_depth_thresh,
+            method=model.build_3d_2d_pairs)
+        iou = matching_iou(m["match_j"], m["match_mask"], j_gt, gt_mask)
+
         return {
             "rot_err_deg": rot_err,
             "trans_err_m": trans_err,
             "num_inliers": num_inliers,
             "num_matches": jnp.sum(m["pair_mask"].astype(jnp.int32)),
+            "matching_iou": iou,
             "pose_pred": pose,
             "pnp_success": pnp.success,
         }

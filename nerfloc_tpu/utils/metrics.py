@@ -64,12 +64,17 @@ def aggregate_per_scene(scene_ids: np.ndarray, rot_err: np.ndarray,
                         scale_factors: Optional[np.ndarray] = None,
                         rot_thresh: float = 5.0,
                         trans_thresh: float = 0.05,
-                        dataset_type: str = "") -> Dict[str, Dict[str, float]]:
+                        dataset_type: str = "",
+                        extras: Optional[Dict[str, np.ndarray]] = None
+                        ) -> Dict[str, Dict[str, float]]:
     """Host-side per-scene medians + accuracy (reference pl/model.py:192-261).
 
     trans errors are divided by per-query scale_factor to undo scene rescaling
     (reference pl/model.py:219), and Cambridge scenes use their per-scene
     translation thresholds (reference :230-236).
+
+    extras: optional per-query metric arrays (same length as scene_ids, e.g.
+    matching IoU, reference pl/model.py:111-112) reduced by per-scene mean.
     """
     if scale_factors is not None:
         trans_err = trans_err / np.maximum(scale_factors, 1e-12)
@@ -89,6 +94,9 @@ def aggregate_per_scene(scene_ids: np.ndarray, rot_err: np.ndarray,
             "pose_acc": acc,
             "n": int(sel.sum()),
         }
+        if extras:
+            for k, v in extras.items():
+                out[name][k] = float(np.mean(v[sel]))
         accs.append(acc)
         med_r.append(float(np.median(r)))
         med_t.append(float(np.median(t)))
@@ -98,4 +106,7 @@ def aggregate_per_scene(scene_ids: np.ndarray, rot_err: np.ndarray,
         "pose_acc": float(np.mean(accs)) if accs else float("nan"),
         "n": int(len(scene_ids)),
     }
+    if extras:
+        for k, v in extras.items():
+            out["avg"][k] = float(np.mean(v))
     return out

@@ -192,3 +192,24 @@ def test_render_ray_knn_pruned_close(field_and_ctx):
         variables, ctx, rays_o, rays_d, pose, False, method="render_rays")
     np.testing.assert_allclose(np.asarray(out_ray["rgb"]),
                                np.asarray(out_flat["rgb"]), atol=5e-3)
+
+
+def test_sample_keypoints_never_returns_masked_points():
+    """When valid points < num, the all-(-inf) Gumbel tie must not leak
+    padding slots: invalid selections are remapped to the best valid point."""
+    from nerfloc_tpu.models.fields.context import NeuralPoints
+
+    P, num = 16, 8
+    mask = jnp.zeros(P, bool).at[jnp.array([2, 5])].set(True)  # 2 valid < 8
+    pts = NeuralPoints(
+        xyz=jnp.arange(P * 3, dtype=jnp.float32).reshape(P, 3),
+        xyz_ndc=jnp.zeros((P, 3)), feature=jnp.zeros((P, 4)),
+        confidence=jnp.ones((P, 1)), direction=jnp.zeros((P, 4)),
+        mask=mask, kp_score=jnp.full((P, 1), 0.5))
+
+    class _Ctx:
+        coarse = pts
+
+    _, _, idx = ConditionalNeRF.sample_keypoints(
+        None, _Ctx(), jax.random.PRNGKey(0), num)
+    assert np.isin(np.asarray(idx), [2, 5]).all()

@@ -123,22 +123,29 @@ def _synthetic_ray_scene(seed=6, R=32, S=16, M=2000):
 
 
 def test_knn_rays_recall():
+    """Candidate recall vs exact KNN, both selection dtypes: exact f32
+    selection >= 0.995; the default bf16 selection (3.3x faster on TPU,
+    rank noise at the candidate boundary only) >= 0.98 — the lost neighbors
+    are overwhelmingly the farthest of K=8, whose 1/dist aggregation weight
+    is minimal (render-closeness guarded by
+    tests/test_fields.py::test_render_ray_knn_pruned_close)."""
     from nerfloc_tpu.ops import knn_rays
 
     rays_o, rays_d, z_vals, pts = _synthetic_ray_scene()
     R, S = z_vals.shape
-    idx = np.asarray(knn_rays(jnp.asarray(rays_o), jnp.asarray(rays_d),
-                              jnp.asarray(z_vals), jnp.asarray(pts), K=8,
-                              n_candidates=128, tile=512))
-    # exact per-sample KNN for every (ray, sample)
     samples = rays_o[:, None, :] + rays_d[:, None, :] * z_vals[..., None]
     _, exact = brute_knn(samples.reshape(-1, 3), pts, 8)
     exact = exact.reshape(R, S, 8)
-    recall = np.mean([
-        len(set(idx[r, s]) & set(exact[r, s])) / 8.0
-        for r in range(R) for s in range(S)
-    ])
-    assert recall >= 0.995, f"knn_rays recall {recall:.4f}"
+    for sd, floor in ((jnp.float32, 0.995), (jnp.bfloat16, 0.98)):
+        idx = np.asarray(knn_rays(jnp.asarray(rays_o), jnp.asarray(rays_d),
+                                  jnp.asarray(z_vals), jnp.asarray(pts), K=8,
+                                  n_candidates=128, tile=512,
+                                  selection_dtype=sd))
+        recall = np.mean([
+            len(set(idx[r, s]) & set(exact[r, s])) / 8.0
+            for r in range(R) for s in range(S)
+        ])
+        assert recall >= floor, f"knn_rays {sd.__name__} recall {recall:.4f}"
 
 
 def test_knn_rays_masked():
@@ -172,3 +179,27 @@ def test_knn_rays_nonunit_dirs():
         for r in range(8) for s in range(8)
     ])
     assert recall >= 0.99, f"non-unit dirs recall {recall:.4f}"
+
+
+def test_packed_bilinear_matches_bilinear_sample():
+    """pack_bilinear_corners + packed_bilinear_sample_views == the border-mode
+    bilinear_sample it replaces in the render hot loop."""
+    from nerfloc_tpu.ops.interp import (
+        bilinear_sample,
+        pack_bilinear_corners,
+        packed_bilinear_sample_views,
+    )
+
+    rng = np.random.default_rng(11)
+    V, H, W, C = 3, 12, 16, 40
+    feats = jnp.asarray(rng.standard_normal((V, H, W, C)), jnp.float32)
+    # include out-of-bounds + exact-border coords
+    uv = jnp.asarray(
+        rng.uniform(-2.0, 2.0, (V, 200, 2)) * np.array([W, H]) -
+        np.array([1.0, 1.0]), jnp.float32)
+
+    packed = pack_bilinear_corners(feats)
+    got = packed_bilinear_sample_views(packed, H, W, uv)
+    want = jax.vmap(lambda f, p: bilinear_sample(f, p))(feats, uv)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-5, atol=1e-5)

@@ -75,6 +75,10 @@ def test_eval_step_runs_pnp(setup):
     assert np.isfinite(np.asarray(out["rot_err_deg"])).all()
     assert np.isfinite(np.asarray(out["trans_err_m"])).all()
     assert out["pose_pred"].shape == (2, 4, 4)
+    # test-time matching IoU (reference pl/model.py:111-112)
+    iou = np.asarray(out["matching_iou"])
+    assert iou.shape == (2,)
+    assert np.isfinite(iou).all() and (iou >= 0).all() and (iou <= 1).all()
 
 
 def test_partial_restore_shape_matching():
@@ -103,8 +107,43 @@ def test_aggregate_per_scene_cambridge_thresholds():
     trans = np.array([0.3, 0.4, 0.1, 0.1])
     names = {0: "StMarysChurch", 1: "ShopFacade"}
     out = aggregate_per_scene(scene_ids, rot, trans, names,
-                              dataset_type="video_cambridge")
+                              dataset_type="video_cambridge",
+                              extras={"matching_iou":
+                                      np.array([0.2, 0.4, 0.6, 0.8])})
     # StMarys thresh 0.35 -> one of two passes; ShopFacade 0.15 -> one passes
     assert abs(out["StMarysChurch"]["pose_acc"] - 0.5) < 1e-6
     assert abs(out["ShopFacade"]["pose_acc"] - 0.5) < 1e-6
     assert out["avg"]["n"] == 4
+    assert abs(out["StMarysChurch"]["matching_iou"] - 0.3) < 1e-6
+    assert abs(out["avg"]["matching_iou"] - 0.5) < 1e-6
+
+
+class _ListDS:
+    def __init__(self, items):
+        self._items = items
+
+    def __len__(self):
+        return len(self._items)
+
+    def __getitem__(self, i):
+        return self._items[i]
+
+
+def test_eval_dataset_prefetch_and_padding(setup):
+    """eval_dataset through the threaded prefetcher: 3 items at batch_size=2
+    exercises final-batch padding; results carry per-scene matching IoU."""
+    from nerfloc_tpu.train.evaluate import eval_dataset
+
+    cfg, model, params, host_batch = setup
+    ds = _ListDS([make_query_batch(n_views=2, H=32, W=32, seed=i)
+                  for i in range(3)])
+    mesh = make_mesh(MeshSpec(data=2, ray=1))
+    with mesh:
+        ev = make_eval_step(model, cfg, mesh)
+        res = eval_dataset(ds, ev, params, mesh, 2, jax.random.PRNGKey(0),
+                           {0: "synthetic_box"}, cfg, collect_poses=True)
+    assert res["avg"]["n"] == 3
+    assert res["synthetic_box"]["n"] == 3
+    assert 0.0 <= res["avg"]["matching_iou"] <= 1.0
+    assert res["_poses"]["poses_pred"].shape == (3, 4, 4)
+    assert len(res["_poses"]["filenames"]) == 3
