@@ -32,6 +32,13 @@ class RenderConfig:
     # exact per-sample refinement. 'flat' falls back to per-sample knn.
     knn_mode: str = "ray"
     knn_candidates: int = 128
+    # fused Pallas neighbor-aggregation kernel for query()'s embed ->
+    # base_mlp -> attention segment (ops/fused_agg.py); backward replays
+    # the pure-JAX path via custom_vjp. Default OFF: the per-neighbor
+    # unrolled v1 kernel measured 108ms vs 75ms pure-XLA at render scale
+    # on v5e (TPU matmuls are row-bound, so its ~15 thin matmuls per
+    # neighbor slot cost more than the HBM round trips they save).
+    fused_query_agg: bool = False
 
 
 @dataclass(frozen=True)

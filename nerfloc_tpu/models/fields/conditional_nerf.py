@@ -285,21 +285,7 @@ class ConditionalNeRF(nn.Module):
         if direction is None:
             direction = nb_dir[:, 0, :]  # model.py:391-392
 
-        xyz_offset = xyz[:, None, :] - nb_xyz
-        ray_diff = safe_normalize(direction[:, None, :3] - nb_dir[..., :3])
-        ray_dot = jnp.sum(direction[:, None, :3] * nb_dir[..., :3], axis=-1, keepdims=True)
-        ray_diff = jnp.concatenate([ray_diff, ray_dot], axis=-1)  # [N, K, 4]
-
         scale = ctx.sv.far - ctx.sv.near
-        # sin/cos must be evaluated in f32 — at the highest band the argument
-        # is 2^(multires-1) * x, and a bf16 input error there is O(radians).
-        # Only the OUTPUT is cast down (it lives in [-1, 1]).
-        point_feature = self.base_mlp(jnp.concatenate([
-            nb_feat,
-            self.xyz_embed(xyz_offset / scale).astype(self.dtype),
-            self.ray_diff_fc(ray_diff.astype(self.dtype)),
-        ], axis=-1))  # [N, K, W]
-
         # The reference repeats the SAME multiview-agg query across all K
         # neighbour slots (model.py:413-414), so every attention output row
         # is identical; the correlation softmax over identical rows is
@@ -307,10 +293,40 @@ class ConditionalNeRF(nn.Module):
         # sum to 1 over identical features — i.e. feature_agg is EXACTLY the
         # single-query attention output. Computing it with Lq=1 is an exact
         # 8x reduction of the attention (110ms of the render call on v5e).
-        feature1, _ = self.base_mlp_attn(mv_agg[:, None, :], point_feature,
-                                         point_feature)  # [N, 1, W]
-        feature_agg = feature1[:, 0]
-        feature = jnp.broadcast_to(feature1, point_feature.shape)
+        if cfg.render.fused_query_agg and not self.is_initializing():
+            # one VMEM-resident Pallas pass for offsets -> embedding ->
+            # base_mlp -> Lq=1 attention (ops/fused_agg.py): the XLA graph
+            # round-trips ~8 [N*K, W] intermediates through HBM here
+            from ...ops.fused_agg import extract_agg_params, fused_neighbor_agg
+
+            aggp = extract_agg_params(self.variables["params"],
+                                      len(self.xyz_embed.freqs),
+                                      nb_feat.shape[-1])
+            feature_agg = fused_neighbor_agg(
+                xyz, direction, mv_agg, nb_xyz, nb_dir,
+                nb_feat, scale, aggp, self.xyz_embed.freqs, self.dtype)
+            feature = jnp.broadcast_to(feature_agg[:, None, :],
+                                       nb_feat.shape[:2] + feature_agg.shape[-1:])
+        else:
+            xyz_offset = xyz[:, None, :] - nb_xyz
+            ray_diff = safe_normalize(direction[:, None, :3] - nb_dir[..., :3])
+            ray_dot = jnp.sum(direction[:, None, :3] * nb_dir[..., :3],
+                              axis=-1, keepdims=True)
+            ray_diff = jnp.concatenate([ray_diff, ray_dot], axis=-1)  # [N, K, 4]
+
+            # sin/cos must be evaluated in f32 — at the highest band the
+            # argument is 2^(multires-1) * x, and a bf16 input error there is
+            # O(radians). Only the OUTPUT is cast down (it lives in [-1, 1]).
+            point_feature = self.base_mlp(jnp.concatenate([
+                nb_feat,
+                self.xyz_embed(xyz_offset / scale).astype(self.dtype),
+                self.ray_diff_fc(ray_diff.astype(self.dtype)),
+            ], axis=-1))  # [N, K, W]
+
+            feature1, _ = self.base_mlp_attn(mv_agg[:, None, :], point_feature,
+                                             point_feature)  # [N, 1, W]
+            feature_agg = feature1[:, 0]
+            feature = jnp.broadcast_to(feature1, point_feature.shape)
 
         weights = (1.0 / jnp.clip(dists, 1e-8)) * nb_conf[..., 0]
         weights = weights / jnp.clip(jnp.sum(weights, axis=1, keepdims=True), 1e-8)
