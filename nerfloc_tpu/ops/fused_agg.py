@@ -24,7 +24,6 @@ from typing import Tuple
 import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
-from jax.experimental.pallas import tpu as pltpu
 
 Array = jax.Array
 
@@ -55,89 +54,84 @@ def _emb_perm(F: int, feat_dim: int, rdfc_dim: int) -> Tuple[int, ...]:
     return tuple(rows)
 
 
-def _kernel(scale_ref, xyz_ref, dir_ref, mv_ref, nbx_ref, nbd_ref, nbf_ref,
-            rd_w1a, rd_w1b, rd_b1, rd_w2, rd_b2,
+def _kernel(mv_ref, off_ref, rdiff_ref, nbf_ref,
+            bmat, hmat, rd_w1, rd_b1, rd_w2, rd_b2,
             w_feat, w_off, w_sin, w_cos, w_rdfc, b_b0, b_w1, b_b1, b_w2, b_b2,
             a_wq, a_wk, a_wv, a_wfc, ln_s, ln_b,
-            out_ref, *, freqs, dt):
-    """Per-neighbor (static K loop), strictly 2-D, concat-free formulation.
+            out_ref, *, dt):
+    """Row-flattened formulation: the whole MLP chain runs on [T*K, .]
+    matrices; only the softmax tail loops over K.
 
-    Mosaic constraints probed on v5e: rank-EXPANDING shape casts
-    ([T,C] -> [T,1,C], stack, broadcast_in_dim) and lane-concats of
-    differently-padded producers do not compile; rank-3 ref loads,
-    [:, k, :] static middle-index slices, [T,1]*[T,C] lane broadcasts and
-    plain matmuls do. So the K axis is an unrolled loop of 8, and every
-    concat-then-matmul becomes a SUM of matmuls against pre-sliced weight
-    blocks (x_in layout [feat | off | sin | cos | rdfc] -> w_feat..w_rdfc;
-    attention head concat -> per-head a_wfc row blocks)."""
+    Mosaic constraints probed on v5e: rank-expanding broadcasts and
+    lane-concats of differently-padded producers do NOT compile; collapse
+    reshapes (T,K,C)->(T*K,C) and their inverse, [:, k, :] static middle
+    slices, indicator-matrix matmuls ([T,W]@[W,4], [T,4]@[4,W]) and f32
+    sin/exp DO. So:
+      * off/ray_diff come pre-computed from XLA (broadcast happens there),
+      * the frequency embedding is off @ B (B block-diagonal band scales,
+        f32 for phase accuracy) followed by elementwise sin/cos and two
+        wide matmuls against w_sin/w_cos [3F, W],
+      * fc0's input concat becomes a sum of per-block matmuls,
+      * per-head attention scores are lane reductions via the indicator
+        matrix H [W, H] (H.T broadcasts [T,H] scores back to [T, W]).
+    v1 (per-neighbor unrolled) ran 108ms at render scale because every one
+    of its ~15*K thin matmuls is row-bound on the MXU; this layout does 11
+    [T*K]-row matmuls total."""
     T, K, Fdim = nbf_ref.shape
-    scale = scale_ref[0, 0]
-    (rd_w1a, rd_w1b, rd_b1, rd_w2, rd_b2, w_feat, w_off, w_sin, w_cos,
+    (bmat, hmat, rd_w1, rd_b1, rd_w2, rd_b2, w_feat, w_off, w_sin, w_cos,
      w_rdfc, b_b0, b_w1, b_b1, b_w2, b_b2, a_wq, a_wk, a_wv, a_wfc,
      ln_s, ln_b) = (
-        r[...] for r in (rd_w1a, rd_w1b, rd_b1, rd_w2, rd_b2, w_feat, w_off,
-                         w_sin, w_cos, w_rdfc, b_b0, b_w1, b_b1, b_w2, b_b2,
-                         a_wq, a_wk, a_wv, a_wfc, ln_s, ln_b))
+        r[...] for r in (bmat, hmat, rd_w1, rd_b1, rd_w2, rd_b2, w_feat,
+                         w_off, w_sin, w_cos, w_rdfc, b_b0, b_w1, b_b1,
+                         b_w2, b_b2, a_wq, a_wk, a_wv, a_wfc, ln_s, ln_b))
 
     def mm(x, w, b=None):
         y = jnp.dot(x.astype(dt), w.astype(dt),
                     preferred_element_type=jnp.float32).astype(dt)
         return y if b is None else y + b.astype(dt)
 
-    xyz = xyz_ref[...]                                 # [T, 3] f32
-    d3 = dir_ref[...][:, :3]                           # [T, 3] f32
-    nbx3 = nbx_ref[...]                                # [T, K, 3] f32
-    nbd3 = nbd_ref[...]                                # [T, K, 4] f32
-    nbf3 = nbf_ref[...]                                # [T, K, F]
     mv = mv_ref[...].astype(dt)                        # [T, W]
+    off = off_ref[...].reshape(T * K, 3)               # f32 (phase accuracy)
+    rdiff = rdiff_ref[...].reshape(T * K, 4)
+    nbf = nbf_ref[...].reshape(T * K, Fdim)
 
-    q = mm(mv, a_wq)                                   # [T, W]
-    inv = dt(1.0 / (D_K ** 0.5))
+    # frequency embedding: band-scaled offsets in ONE f32 matmul, then
+    # elementwise sin/cos at [T*K, 3F]
+    offw = jnp.dot(off, bmat, preferred_element_type=jnp.float32)
+    h0 = (mm(nbf, w_feat) + mm(off, w_off)
+          + mm(jnp.sin(offw), w_sin) + mm(jnp.cos(offw), w_cos))
 
-    s_cols = [[] for _ in range(N_HEAD)]
-    vvs = []
+    h1 = _leaky(mm(rdiff, rd_w1, rd_b1))
+    rdfc = _leaky(mm(h1, rd_w2, rd_b2))
+
+    h = _leaky(h0 + mm(rdfc, w_rdfc) + b_b0.astype(dt))
+    h = _leaky(mm(h, b_w1, b_b1))
+    pf = _leaky(mm(h, b_w2, b_b2))                     # [T*K, W]
+
+    kk = mm(pf, a_wk).reshape(T, K, -1)
+    vv = mm(pf, a_wv).reshape(T, K, -1)
+    q = mm(mv, a_wq) * dt(1.0 / (D_K ** 0.5))          # [T, W]
+
+    # per-head scores via indicator reduction; explicit max-subtracted
+    # softmax over the K python-loop
+    s4s = [jnp.dot((q * kk[:, k, :]).astype(dt), hmat,
+                   preferred_element_type=jnp.float32) for k in range(K)]
+    m = s4s[0]
+    for k in range(1, K):
+        m = jnp.maximum(m, s4s[k])                     # [T, H] f32
+    den = jnp.zeros_like(m)
+    num = None
     for k in range(K):
-        off = (xyz - nbx3[:, k, :]) / scale            # [T, 3] f32
-        # per-frequency sin/cos blocks, matmul'd against per-band weight
-        # slices (w_sin/w_cos rows are 3-wide per frequency)
-        F = len(freqs)
-        h0 = mm(nbf3[:, k, :], w_feat) + mm(off.astype(dt), w_off)
-        for i, f in enumerate(freqs):
-            h0 = h0 + mm(jnp.sin(off * f).astype(dt), w_sin[3 * i:3 * i + 3])
-            h0 = h0 + mm(jnp.cos(off * f).astype(dt), w_cos[3 * i:3 * i + 3])
-
-        nbd_k = nbd3[:, k, :3]
-        diff = d3 - nbd_k
-        n = jnp.sqrt(jnp.sum(diff * diff, axis=1, keepdims=True) + 1e-12)
-        rd = (diff / jnp.maximum(n, 1e-6)).astype(dt)
-        rdot = jnp.sum(d3 * nbd_k, axis=1, keepdims=True).astype(dt)
-        h1 = _leaky(mm(rd, rd_w1a) + mm(rdot, rd_w1b) + rd_b1.astype(dt))
-        rdfc = _leaky(mm(h1, rd_w2, rd_b2))
-
-        h = _leaky(h0 + mm(rdfc, w_rdfc) + b_b0.astype(dt))
-        h = _leaky(mm(h, b_w1, b_b1))
-        pf_k = _leaky(mm(h, b_w2, b_b2))               # [T, W]
-
-        kk_k = mm(pf_k, a_wk)
-        vvs.append(mm(pf_k, a_wv))
-        for hd in range(N_HEAD):
-            sl = slice(hd * D_K, (hd + 1) * D_K)
-            s_cols[hd].append(jnp.sum(q[:, sl] * inv * kk_k[:, sl],
-                                      axis=1, keepdims=True))   # [T, 1]
-
-    o = None
-    for hd in range(N_HEAD):
-        sl = slice(hd * D_K, (hd + 1) * D_K)
-        s = jnp.concatenate(s_cols[hd], axis=1)        # [T, K]
-        s = s - jnp.max(s, axis=1, keepdims=True)
-        e = jnp.exp(s)
-        a = e / jnp.sum(e, axis=1, keepdims=True)
-        o_h = a[:, 0:1] * vvs[0][:, sl]
-        for k in range(1, K):
-            o_h = o_h + a[:, k:k + 1] * vvs[k][:, sl]
-        # head-concat @ a_wfc == sum of per-head row-block matmuls
-        contrib = mm(o_h, a_wfc[sl, :])
-        o = contrib if o is None else o + contrib      # [T, W]
+        e = jnp.exp(s4s[k] - m)                        # [T, H] f32
+        den = den + e
+        w_k = jnp.dot(e.astype(dt), hmat.T,
+                      preferred_element_type=jnp.float32)  # bcast [T, W]
+        contrib = w_k * vv[:, k, :].astype(jnp.float32)
+        num = contrib if num is None else num + contrib
+    rec = jnp.dot((1.0 / den).astype(dt), hmat.T,
+                  preferred_element_type=jnp.float32)
+    attn = (num * rec).astype(dt)                      # [T, W]
+    o = mm(attn, a_wfc)
 
     y = (o + mv).astype(jnp.float32)                   # residual
     mean = jnp.mean(y, axis=1, keepdims=True)
@@ -216,12 +210,18 @@ def extract_agg_params(variables, F: int, feat_dim: int) -> dict:
     }
 
 
-def _slice_kernel_params(params, F: int, feat_dim: int):
-    """Pre-slice the fused weights into the kernel's concat-free blocks
-    (free outside the kernel; see _kernel docstring)."""
+def _slice_kernel_params(params, freqs, feat_dim: int, dt):
+    """Pre-slice the fused weights into the kernel's concat-free blocks and
+    build the two constant matrices (free outside the kernel; see _kernel
+    docstring): bmat [3, 3F] block-diagonal band scales, hmat [4*D_K, 4]
+    head-indicator."""
+    F = len(freqs)
     w0 = params["b_w0p"]
     o = feat_dim
-    return [params["rd_w1"][:3], params["rd_w1"][3:4], params["rd_b1"],
+    bmat = jnp.kron(jnp.asarray(freqs, jnp.float32)[None, :], jnp.eye(3))
+    hmat = jnp.repeat(jnp.eye(N_HEAD, dtype=jnp.float32), D_K, axis=0)
+    return [bmat, hmat.astype(dt),
+            params["rd_w1"], params["rd_b1"],
             params["rd_w2"], params["rd_b2"],
             w0[:o], w0[o:o + 3], w0[o + 3:o + 3 + 3 * F],
             w0[o + 3 + 3 * F:o + 3 + 6 * F], w0[o + 3 + 6 * F:],
@@ -248,13 +248,24 @@ def _fused_fwd_impl(xyz, direction, mv_agg, nb_xyz, nb_dir, nb_feat, scale,
                     params, freqs, dt, tile):
     N, K, Fdim = nb_feat.shape
     W = mv_agg.shape[-1]
+
+    # offsets + ray-diff geometry stay in XLA (cheap elementwise; Mosaic
+    # cannot rank-expand broadcasts), exactly the reference_agg math
+    off = (xyz[:, None, :] - nb_xyz) / scale            # [N, K, 3] f32
+    d3 = direction[:, None, :3]
+    diff = d3 - nb_dir[..., :3]
+    n = jnp.sqrt(jnp.sum(diff * diff, axis=-1, keepdims=True) + 1e-12)
+    rd = diff / jnp.maximum(n, 1e-6)
+    rdot = jnp.sum(d3 * nb_dir[..., :3], axis=-1, keepdims=True)
+    rdiff = jnp.concatenate([rd, rdot], axis=-1)        # [N, K, 4] f32
+
     T = tile
     pad = (-N) % T
     if pad:
         def p0(x):
             return jnp.pad(x, [(0, pad)] + [(0, 0)] * (x.ndim - 1))
-        xyz, direction, mv_agg = p0(xyz), p0(direction), p0(mv_agg)
-        nb_xyz, nb_dir, nb_feat = p0(nb_xyz), p0(nb_dir), p0(nb_feat)
+        mv_agg, off, rdiff, nb_feat = (p0(mv_agg), p0(off), p0(rdiff),
+                                       p0(nb_feat))
     Np = N + pad
     grid = (Np // T,)
 
@@ -264,19 +275,16 @@ def _fused_fwd_impl(xyz, direction, mv_agg, nb_xyz, nb_dir, nb_feat, scale,
     def whole(a):
         return pl.BlockSpec(a.shape, lambda i: (0,) * a.ndim)
 
-    pvals = _slice_kernel_params(params, len(freqs), Fdim)
+    pvals = _slice_kernel_params(params, freqs, Fdim, dt)
     out = pl.pallas_call(
-        partial(_kernel, freqs=freqs, dt=dt),
+        partial(_kernel, dt=dt),
         grid=grid,
-        in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)]
-        + [blk((3,)), blk((direction.shape[-1],)), blk((W,)),
-           blk((K, 3)), blk((K, 4)), blk((K, Fdim))]
+        in_specs=[blk((W,)), blk((K, 3)), blk((K, 4)), blk((K, Fdim))]
         + [whole(p) for p in pvals],
         out_specs=pl.BlockSpec((T, W), lambda i: (i, 0)),
         out_shape=jax.ShapeDtypeStruct((Np, W), jnp.float32),
         interpret=jax.default_backend() != "tpu",
-    )(jnp.asarray(scale, jnp.float32).reshape(1, 1), xyz, direction, mv_agg,
-      nb_xyz, nb_dir, nb_feat, *pvals)
+    )(mv_agg, off, rdiff, nb_feat, *pvals)
     return out[:N]
 
 

@@ -44,13 +44,16 @@ def main():
     from nerfloc_tpu.data import device_batch, make_query_batch
     from nerfloc_tpu.models.pose_estimator import NerfPoseEstimator
 
+    fused = "--fused" in sys.argv
     cfg = Config(
         backbone2d_fpn_dim=192,
         model_3d_hidden_dim=128,
         matcher_hidden_dim=192,
-        render=RenderConfig(N_samples=64, N_rand=1024, chunk=2048),
+        render=RenderConfig(N_samples=64, N_rand=1024, chunk=2048,
+                            fused_query_agg=fused),
         matching=MatchingConfig(fine_num_3d_keypoints=1024),
     )
+    print(f"fused_query_agg={fused}")
     model = NerfPoseEstimator(cfg, dtype=compute_dtype_of(cfg))
     H, W, V = 240, 320, 5
     batch = {k: jnp.asarray(v) for k, v in
