@@ -89,7 +89,40 @@ def main():
     # chain the iterations through an on-device accumulator (strict ordering
     # via the data dependency) and fence ONCE at the end — the round trip
     # amortizes to ~1ms/iter instead of polluting every sample.
+    #
+    # Steady-state device throughput (the headline): `iters` DIFFERENT ray
+    # batches rendered by one lax.scan inside a single jit call, so per-call
+    # host dispatch (~10ms of pytree serialization over the axon transport,
+    # which a pipelined production server overlaps) is excluded; distinct
+    # rays per step keep XLA from CSE-ing the renders. The per-call
+    # dispatched rate is also reported (value_dispatched).
     iters = 20
+    uv_all = jnp.stack([
+        jax.random.uniform(rngs[0], (iters, n_rays), minval=0, maxval=W - 1),
+        jax.random.uniform(rngs[1], (iters, n_rays), minval=0, maxval=H - 1),
+    ], axis=-1)
+    ro_all, rd_all = jax.vmap(
+        lambda uv: rays_for_pixels(uv, batch["K"], batch["pose"]))(uv_all)
+
+    @jax.jit
+    def render_scan(params, ctx, ro_all, rd_all, pose):
+        def body(acc, rays):
+            ro, rd = rays
+
+            def f(m):
+                return m.model_3d.render_rays(ctx, ro, rd, pose, False)
+            out = model.apply(params, method=f)
+            return acc + jnp.sum(out["rgb"]) + jnp.sum(out["depth"]), ()
+        acc, _ = jax.lax.scan(body, jnp.float32(0.0), (ro_all, rd_all))
+        return acc
+
+    float(render_scan(params, ctx, ro_all, rd_all, batch["pose"]))  # warm
+    spin_up(1000.0)
+    t0 = time.perf_counter()
+    float(render_scan(params, ctx, ro_all, rd_all, batch["pose"]))
+    dt = time.perf_counter() - t0
+    rays_per_sec = n_rays * iters / dt
+
     acc = render_chk(params, ctx, rays_o, rays_d, batch["pose"])
     float(acc)
     t0 = time.perf_counter()
@@ -97,7 +130,7 @@ def main():
         acc = acc + render_chk(params, ctx, rays_o, rays_d, batch["pose"])
     float(acc)  # single fence drains the whole dispatch queue
     dt = time.perf_counter() - t0
-    rays_per_sec = n_rays * iters / dt
+    rays_per_sec_dispatched = n_rays * iters / dt
 
     # end-to-end localization (features -> 3D desc -> match -> on-device
     # PnP), the reference's full test-time query (nerf_pose_estimator.py:
@@ -123,6 +156,7 @@ def main():
         "value": round(rays_per_sec, 1),
         "unit": "rays/s",
         "vs_baseline": round(rays_per_sec / REFERENCE_RAYS_PER_SEC, 3),
+        "value_dispatched": round(rays_per_sec_dispatched, 1),
         "localize_ms_per_query": round(loc_ms, 1),
     }))
 

@@ -32,6 +32,14 @@ class RenderConfig:
     # exact per-sample refinement. 'flat' falls back to per-sample knn.
     knn_mode: str = "ray"
     knn_candidates: int = 128
+    # neighbor geometry/feature assembly in the render hot loop: 'gather'
+    # does one [R*S*K]-row packed gather; 'onehot' selects neighbors from
+    # per-ray candidate tables with a one-hot MXU matmul (bf16 hi/mid/lo
+    # split keeps f32 geometry exact to 24 bits). Default 'gather': the
+    # batched [R x (S*K, C)@(C, 25+F)] one-hot matmul is dispatch-bound at
+    # R=4096 tiny batches and measured ~8ms SLOWER in the full render on
+    # v5e (109.6 vs 101.8ms), even though isolated gather rows cost more.
+    geo_assembly: str = "gather"
     # fused Pallas neighbor-aggregation kernel for query()'s embed ->
     # base_mlp -> attention segment (ops/fused_agg.py); backward replays
     # the pure-JAX path via custom_vjp. Default OFF: the per-neighbor

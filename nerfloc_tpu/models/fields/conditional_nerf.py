@@ -238,13 +238,21 @@ class ConditionalNeRF(nn.Module):
     def query(self, ctx: SceneContext, xyz: Array, level: str, K: int,
               direction: Optional[Array] = None,
               knn_idx: Optional[Array] = None,
-              proj=None) -> Dict[str, Array]:
+              proj=None, cand=None) -> Dict[str, Array]:
         """Aggregate a descriptor for arbitrary 3D points (model.py:344-436).
 
         knn_idx: optional precomputed neighbor indices [N, K] (e.g. from the
         ray-coherent ops.knn.knn_rays); distances are recomputed from the
         gathered coordinates so gradients still flow.
         proj: optional precomputed multiview Projection of xyz.
+        cand: optional (cand_idx [R, C], local_idx [R, S, K]) from
+        knn_rays(return_candidates=True) with R*S == N. Neighbor geometry
+        and features are then assembled from per-ray candidate tables with
+        one-hot MXU matmuls — a [R*C]-row gather plus matmuls instead of an
+        [R*S*K]-row gather (TPU gathers are row-latency-bound, measured
+        ~120-190M rows/s on v5e, so S*K/C ~ 4x fewer gather rows wins).
+        The one-hot product is exact: f32 path at precision='highest',
+        bf16 features selected by bf16 1.0s.
         """
         cfg = self.cfg
         points = ctx.coarse if level == "coarse" else ctx.fine
@@ -261,24 +269,60 @@ class ConditionalNeRF(nn.Module):
         else:
             idx = knn_idx
             dists = None
-        # ONE packed gather instead of four: TPU gathers are latency-bound
-        # per row, so gathering [xyz|dir|conf|mask|feature] together costs
-        # about the same as gathering xyz alone (the mixed-dtype concat
-        # promotes to f32; a bf16/f32 split into two gathers measured slower
-        # in the fused render graph)
-        geo = jnp.concatenate([points.xyz, points.direction,
-                               points.confidence.astype(points.xyz.dtype),
-                               points.mask[:, None].astype(points.xyz.dtype),
-                               points.feature.astype(points.xyz.dtype)],
-                              axis=-1)
-        nbg = knn_gather(geo, idx)                      # [N, K, 9+F]
-        nb_xyz = nbg[..., :3]
-        nb_dir = nbg[..., 3:7]
-        nb_conf = nbg[..., 7:8]
-        nb_feat = nbg[..., 9:].astype(points.feature.dtype)
+        if cand is not None:
+            # per-ray candidate-table assembly (see docstring). All in ONE
+            # bf16 table + ONE single-pass bf16 matmul: the f32 geometry
+            # channels are split into three bf16 components (hi/mid/lo =
+            # 24 mantissa bits, reconstructed by an f32 sum after
+            # selection) because an f32 one-hot matmul at
+            # precision='highest' costs 6 MXU passes (measured +15ms).
+            cand_idx, local_idx = cand
+            R, C = cand_idx.shape
+            SK = local_idx.shape[1] * local_idx.shape[2]
+            safe_c = jnp.maximum(cand_idx, 0)
+            bf = jnp.bfloat16
+            g8 = jnp.concatenate(
+                [points.xyz, points.direction,
+                 points.confidence.astype(points.xyz.dtype)], axis=-1)
+            hi = g8.astype(bf)
+            r = g8 - hi.astype(jnp.float32)
+            mid = r.astype(bf)
+            lo = (r - mid.astype(jnp.float32)).astype(bf)
+            table = jnp.concatenate(
+                [hi, mid, lo, points.mask[:, None].astype(bf),
+                 points.feature.astype(bf)], axis=-1)        # [M, 25+F]
+            cand_tab = jnp.take(table, safe_c, axis=0)       # [R, C, 25+F]
+            oh = (local_idx.reshape(R, SK, 1)
+                  == jnp.arange(C, dtype=jnp.int32)[None, None, :])
+            nb = jnp.matmul(oh.astype(bf), cand_tab,
+                            preferred_element_type=jnp.float32)
+            nb = nb.reshape(-1, K, nb.shape[-1])             # [N, K, 25+F]
+            gsel = nb[..., :8] + nb[..., 8:16] + nb[..., 16:24]
+            nb_xyz = gsel[..., :3]
+            nb_dir = gsel[..., 3:7]
+            nb_conf = gsel[..., 7:8]
+            nb_mask = nb[..., 24]
+            nb_feat = nb[..., 25:].astype(points.feature.dtype)
+        else:
+            # ONE packed gather instead of four: TPU gathers are latency-
+            # bound per row, so gathering [xyz|dir|conf|mask|feature]
+            # together costs about the same as gathering xyz alone (the
+            # mixed-dtype concat promotes to f32; a bf16/f32 split into two
+            # gathers measured slower in the fused render graph)
+            geo = jnp.concatenate([points.xyz, points.direction,
+                                   points.confidence.astype(points.xyz.dtype),
+                                   points.mask[:, None].astype(points.xyz.dtype),
+                                   points.feature.astype(points.xyz.dtype)],
+                                  axis=-1)
+            nbg = knn_gather(geo, idx)                      # [N, K, 9+F]
+            nb_xyz = nbg[..., :3]
+            nb_dir = nbg[..., 3:7]
+            nb_conf = nbg[..., 7:8]
+            nb_mask = nbg[..., 8]
+            nb_feat = nbg[..., 9:].astype(points.feature.dtype)
         if dists is None:
             d2 = jnp.sum((xyz[:, None, :] - nb_xyz) ** 2, axis=-1)
-            d2 = jnp.where(nbg[..., -1] > 0.5, d2,
+            d2 = jnp.where(nb_mask > 0.5, d2,
                            jnp.finfo(d2.dtype).max / 4)  # masked -> huge, as knn()
             dists = safe_sqrt(d2)
 
@@ -418,13 +462,19 @@ class ConditionalNeRF(nn.Module):
         ], axis=-1)
 
         knn_idx = None
+        cand = None
         if cfg.render.knn_mode == "ray":
             # ray-coherent KNN: per-ray candidate pruning + exact per-sample
             # refinement — S times less top-k/matmul work than flat KNN over
             # R*S sample points (ops/knn.py knn_rays)
+            onehot = cfg.render.geo_assembly == "onehot"
             ridx = knn_rays(rays_o, rays_d, z_vals, ctx.fine.xyz, K=8,
                             points_mask=ctx.fine.mask,
-                            n_candidates=cfg.render.knn_candidates)
+                            n_candidates=cfg.render.knn_candidates,
+                            return_candidates=onehot)
+            if onehot:
+                ridx, cand_idx, local_idx = ridx
+                cand = (cand_idx, local_idx)
             knn_idx = ridx.reshape(R * N_samples, 8)
         # ONE multiview projection of all sample points, shared by the
         # aggregator's sampling pass and the validity mask below (the
@@ -432,7 +482,7 @@ class ConditionalNeRF(nn.Module):
         Hs, Ws = ctx.sv.images.shape[1:3]
         proj = compute_projections(xyz_flat, ctx.sv.Ks, ctx.sv.poses, Hs, Ws)
         qd = self.query(ctx, xyz_flat, level="fine", K=8, direction=dir_flat,
-                        knn_idx=knn_idx, proj=proj)
+                        knn_idx=knn_idx, proj=proj, cand=cand)
         feature_agg = qd["feature_agg"]
         mv_feat = qd["multiview_feature"]
         mv_vis = qd["multiview_visibility"]

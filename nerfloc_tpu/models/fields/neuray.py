@@ -272,10 +272,50 @@ class MixtureLogisticsDistDecoder(nn.Module):
         self.aw_decoder = _DecoderMLP(1, dtype=self.dtype)
 
     def __call__(self, feats: Array):
-        mean = jax.nn.softplus(self.mean_decoder(feats))
-        var = jax.nn.softplus(self.var_decoder(feats)) + self.bias_val
-        vis = jax.nn.sigmoid(self.vis_decoder(feats))
-        aw = jax.nn.sigmoid(self.aw_decoder(feats))
+        if self.is_initializing():
+            mean = jax.nn.softplus(self.mean_decoder(feats))
+            var = jax.nn.softplus(self.var_decoder(feats)) + self.bias_val
+            vis = jax.nn.sigmoid(self.vis_decoder(feats))
+            aw = jax.nn.sigmoid(self.aw_decoder(feats))
+            return mean, var, vis, aw
+        # The four 3-layer decoder MLPs share their input, so run them as ONE
+        # block-diagonal MLP: 3 matmuls instead of 12. Skinny [rows, 32]
+        # matmuls on TPU are HBM/row-bound, so 4x fewer passes ~ 4x faster
+        # here; the zero off-diagonal blocks contribute exactly 0, keeping
+        # numerics and the per-decoder param tree (checkpoints, golden
+        # parity tests) unchanged.
+        p = self.variables["params"]
+
+        def lay(name):
+            ks = [p[d][name]["kernel"] for d in
+                  ("mean_decoder", "var_decoder", "vis_decoder", "aw_decoder")]
+            bs = [p[d][name]["bias"] for d in
+                  ("mean_decoder", "var_decoder", "vis_decoder", "aw_decoder")]
+            return ks, jnp.concatenate(bs, axis=-1)
+
+        def blockdiag(ks):
+            rows = []
+            n = len(ks)
+            for i, k in enumerate(ks):
+                pre = sum(kk.shape[1] for kk in ks[:i])
+                post = sum(kk.shape[1] for kk in ks[i + 1:])
+                rows.append(jnp.pad(k, ((0, 0), (pre, post))))
+            return jnp.concatenate(rows, axis=0)
+
+        k1, b1 = lay("fc1")
+        k2, b2 = lay("fc2")
+        k3, b3 = lay("fc3")
+        dt = self.dtype
+        w1 = jnp.concatenate(k1, axis=-1).astype(dt)      # [32, 128]
+        w2 = blockdiag(k2).astype(dt)                     # [128, 128]
+        w3 = blockdiag(k3).astype(dt)                     # [128, 6]
+        x = nn.elu(feats.astype(dt) @ w1 + b1.astype(dt))
+        x = nn.elu(x @ w2 + b2.astype(dt))
+        out = x @ w3 + b3.astype(dt)
+        mean = jax.nn.softplus(out[..., 0:2])
+        var = jax.nn.softplus(out[..., 2:4]) + self.bias_val
+        vis = jax.nn.sigmoid(out[..., 4:5])
+        aw = jax.nn.sigmoid(out[..., 5:6])
         return mean, var, vis, aw
 
     def predict_mean(self, feats: Array) -> Array:

@@ -130,12 +130,14 @@ def knn(queries: Array, points: Array, K: int,
 
 
 @partial(jax.jit, static_argnames=("K", "n_candidates", "tile",
-                                   "recall_target", "selection_dtype"))
+                                   "recall_target", "selection_dtype",
+                                   "return_candidates"))
 def knn_rays(rays_o: Array, rays_d: Array, z_vals: Array, points: Array,
              K: int, points_mask: Array | None = None,
              n_candidates: int = 128, tile: int = 8192,
              recall_target: float = 0.95,
-             selection_dtype=jnp.bfloat16) -> Array:
+             selection_dtype=jnp.bfloat16,
+             return_candidates: bool = False):
     """Per-sample KNN for all samples of a ray batch, via ray-coherent pruning.
 
     The render hot loop (reference conditional_nerf/model.py:509-517) runs
@@ -157,6 +159,10 @@ def knn_rays(rays_o: Array, rays_d: Array, z_vals: Array, points: Array,
       idx [R, S, K] int32, ascending by distance (pytorch3d order). Indices
       only — callers recompute differentiable distances from gathered
       coordinates (the knn.cu:446-554 backward becomes plain autodiff).
+      With return_candidates=True, returns (idx, cand_idx [R, C] int32,
+      local_idx [R, S, K] int32) where idx == take_along(cand_idx, local)
+      — callers can then assemble neighbor features from per-ray candidate
+      tables with a one-hot MXU matmul instead of an [R*S*K]-row gather.
     """
     R, S = z_vals.shape
     M = points.shape[0]
@@ -248,8 +254,13 @@ def knn_rays(rays_o: Array, rays_d: Array, z_vals: Array, points: Array,
     # (which lowers to a full variadic sort with worse layout): 4ms vs 83ms
     # at [4096, 64, 128] on v5e
     gidx = jnp.broadcast_to(cand_idx[:, None, :], d2.shape)
-    _, sidx = jax.lax.sort([d2, gidx], num_keys=1, dimension=2)
-    return sidx[..., :K]
+    if not return_candidates:
+        _, sidx = jax.lax.sort([d2, gidx], num_keys=1, dimension=2)
+        return sidx[..., :K]
+    lidx = jnp.broadcast_to(jnp.arange(C, dtype=jnp.int32)[None, None, :],
+                            d2.shape)
+    _, sidx, slid = jax.lax.sort([d2, gidx, lidx], num_keys=1, dimension=2)
+    return sidx[..., :K], cand_idx, slid[..., :K]
 
 
 def knn_gather(features: Array, idx: Array) -> Array:
