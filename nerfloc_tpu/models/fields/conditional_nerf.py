@@ -28,7 +28,7 @@ from ...geometry.cameras import get_rays, scale_intrinsics, world_to_camera
 from ...geometry.embedder import Embedder
 from ...geometry.math import safe_normalize, safe_sqrt
 from ...ops.interp import pack_bilinear_corners, resize_nearest
-from ...ops.knn import knn, knn_gather, knn_rays
+from ...ops.knn import knn, knn_gather, knn_proj, knn_rays, pack_xyz_window
 from ..transformer import MultiHeadAttention
 from .aggregator import MultiviewFeatureAggregator, SupportViews
 from .context import NeuralPoints, SceneContext
@@ -206,12 +206,20 @@ class ConditionalNeRF(nn.Module):
             fused_fine_packed = pack_bilinear_corners(fused)
         rgb_packed = pack_bilinear_corners(images.astype(self.dtype))
 
+        # 3x3-window candidate table for projection-window render KNN
+        # (ops/knn.knn_proj): the fine points are the stride-s featmap grid
+        V = images.shape[0]
+        hf, wf = feat_fine_src.shape[1:3]
+        xyz_window_packed = pack_xyz_window(
+            fine.xyz.reshape(V, hf, wf, 3), fine.mask.reshape(V, hf, wf))
+
         return SceneContext(sv=sv, coarse=coarse, fine=fine,
                             feat_coarse_src=feat_coarse_src,
                             feat_fine_src=feat_fine_src,
                             embedding_a=embedding_a,
                             fused_fine_packed=fused_fine_packed,
-                            rgb_packed=rgb_packed)
+                            rgb_packed=rgb_packed,
+                            xyz_window_packed=xyz_window_packed)
 
     # ------------------------------------------------------------------
     # keypoint sampling
@@ -461,12 +469,33 @@ class ConditionalNeRF(nn.Module):
             z_vals.reshape(-1, 1),
         ], axis=-1)
 
+        # ONE multiview projection of all sample points, shared by the
+        # projection-window KNN, the aggregator's sampling pass, and the
+        # validity mask below (the reference projects twice,
+        # ibrnet.py:169-192 + model.py:563-570)
+        Hs, Ws = ctx.sv.images.shape[1:3]
+        proj = compute_projections(xyz_flat, ctx.sv.Ks, ctx.sv.poses, Hs, Ws)
+
         knn_idx = None
         cand = None
-        if cfg.render.knn_mode == "ray":
+        if cfg.render.knn_mode == "proj":
+            # projection-window KNN (ops/knn.knn_proj): candidates are the
+            # 3x3 featmap windows around each sample's projections — exact
+            # re-rank, 0.99 surface recall; see knn_proj docstring for why
+            # segment pruning (knn_rays) fails at production cloud density
+            hf, wf = ctx.feat_fine_src.shape[1:3]
+            stride = Hs // hf
+            # in_front only: out-of-bounds projections clip to border
+            # pixels, whose points may legitimately be nearest — the exact
+            # f32 re-rank keeps or rejects them by true distance
+            knn_idx = knn_proj(xyz_flat, proj.uv / float(stride),
+                               proj.in_front, ctx.xyz_window_packed,
+                               hf, wf, K=8)
+        elif cfg.render.knn_mode == "ray":
             # ray-coherent KNN: per-ray candidate pruning + exact per-sample
             # refinement — S times less top-k/matmul work than flat KNN over
-            # R*S sample points (ops/knn.py knn_rays)
+            # R*S sample points (ops/knn.py knn_rays). CAUTION: candidate
+            # recall collapses on production-density clouds; see knn_proj.
             onehot = cfg.render.geo_assembly == "onehot"
             ridx = knn_rays(rays_o, rays_d, z_vals, ctx.fine.xyz, K=8,
                             points_mask=ctx.fine.mask,
@@ -476,11 +505,6 @@ class ConditionalNeRF(nn.Module):
                 ridx, cand_idx, local_idx = ridx
                 cand = (cand_idx, local_idx)
             knn_idx = ridx.reshape(R * N_samples, 8)
-        # ONE multiview projection of all sample points, shared by the
-        # aggregator's sampling pass and the validity mask below (the
-        # reference projects twice, ibrnet.py:169-192 + model.py:563-570)
-        Hs, Ws = ctx.sv.images.shape[1:3]
-        proj = compute_projections(xyz_flat, ctx.sv.Ks, ctx.sv.poses, Hs, Ws)
         qd = self.query(ctx, xyz_flat, level="fine", K=8, direction=dir_flat,
                         knn_idx=knn_idx, proj=proj, cand=cand)
         feature_agg = qd["feature_agg"]

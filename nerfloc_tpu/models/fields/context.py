@@ -49,3 +49,6 @@ class SceneContext:
     # with one row gather (6x faster than the vmapped per-view gather)
     fused_fine_packed: Optional[Array] = None  # [V*Hf*Wf, 4*(C+32)]
     rgb_packed: Optional[Array] = None         # [V*H*W, 12]
+    # 3x3-window candidate table over the fine point grid for
+    # projection-window render KNN (ops/knn.pack_xyz_window / knn_proj)
+    xyz_window_packed: Optional[Array] = None  # [V*Hf*Wf, 90] bf16

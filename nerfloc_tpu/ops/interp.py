@@ -121,6 +121,22 @@ def pack_bilinear_corners(feats: Array) -> Array:
     return packed.reshape(V * H * W, 4 * C)
 
 
+def pack_window(feats: Array, offsets) -> Array:
+    """[V, H, W, C] -> flat packed window table [V*H*W, len(offsets)*C].
+
+    Row (v*H*W + y*W + x) holds feats[y+dy, x+dx] for each (dx, dy) in
+    `offsets`, so an arbitrary fixed window around a pixel costs ONE flat
+    row gather (same rationale as pack_bilinear_corners). Wraparound rows
+    from the rolls are never addressed when callers clip the window center
+    to the valid interior.
+    """
+    packed = jnp.concatenate(
+        [jnp.roll(feats, (-dy, -dx), axis=(1, 2)) for dx, dy in offsets],
+        axis=-1)
+    V, H, W = feats.shape[:3]
+    return packed.reshape(V * H * W, len(offsets) * feats.shape[-1])
+
+
 def packed_bilinear_sample_views(packed: Array, H: int, W: int,
                                  uv: Array) -> Array:
     """Sample a pack_bilinear_corners table at [V, N, 2] pixel coords.

@@ -263,6 +263,84 @@ def knn_rays(rays_o: Array, rays_d: Array, z_vals: Array, points: Array,
     return sidx[..., :K], cand_idx, slid[..., :K]
 
 
+PROJ_WINDOW = tuple((dx, dy) for dy in (-1, 0, 1) for dx in (-1, 0, 1))
+
+
+def pack_xyz_window(xyz_maps: Array, mask_maps: Array) -> Array:
+    """Build the knn_proj candidate table: [V, h, w, 3] f32 point maps +
+    [V, h, w] validity -> flat packed [V*h*w, 9*10] bf16 window table.
+
+    Each offset contributes 10 channels: the point xyz split into three
+    bf16 components (hi/mid/lo — reconstructed by an f32 sum to ~24
+    mantissa bits; f32 row gathers measured ~8x slower than bf16 on v5e)
+    plus the validity bit.
+    """
+    from .interp import pack_window
+
+    bf = jnp.bfloat16
+    hi = xyz_maps.astype(bf)
+    r = xyz_maps - hi.astype(jnp.float32)
+    mid = r.astype(bf)
+    lo = (r - mid.astype(jnp.float32)).astype(bf)
+    ch = jnp.concatenate([hi, mid, lo, mask_maps[..., None].astype(bf)],
+                         axis=-1)                       # [V, h, w, 10]
+    return pack_window(ch, PROJ_WINDOW)
+
+
+def knn_proj(xyz: Array, uv_fm: Array, front: Array, packed: Array,
+             h: int, w: int, K: int) -> Array:
+    """Projection-window KNN for render samples against support neural
+    points (TPU-native replacement for per-sample exact KNN in the render
+    hot loop, reference model.py:509-517 / pytorch3d knn_points).
+
+    The fine neural points ARE the stride-s pixel grid of each support
+    view (conditional_nerf._backproject_level), so a sample's plausible
+    neighbors are the 3x3 featmap window around its projection in each
+    view — V*9 analytic candidates, exact f32 re-rank, top-K. No segment
+    search: per-ray segment-distance pruning (knn_rays) collapses on
+    production-density clouds (measured 6.5% candidate recall at
+    [4096 rays x 24k pts] — thousands of points tie at ~0 segment
+    distance), while this scheme measures 0.99 recall at the surface,
+    which is where neighbors carry weight (off-surface samples' true
+    neighbors are 5-90x the point spacing away for every method; their
+    1/dist aggregation weights are diffuse).
+
+    Args:
+      xyz: [N, 3] f32 sample points; uv_fm: [V, N, 2] projections in
+      FEATMAP pixel coords (full-res uv / stride); front: [V, N] bool —
+      projection usable (in front of camera & inside the image);
+      packed: pack_xyz_window table; h/w: featmap dims; K: neighbors.
+    Returns: idx [N, K] int32 into the flat [V*h*w] point array, ascending
+      by distance. Border clipping can duplicate edge pixels among the 45
+      candidates; downstream 1/dist weighting tolerates the double-count.
+    """
+    V, N = uv_fm.shape[0], uv_fm.shape[1]
+    O = len(PROJ_WINDOW)
+    u0 = jnp.clip(jnp.round(uv_fm[..., 0]), 1, w - 2).astype(jnp.int32)
+    v0 = jnp.clip(jnp.round(uv_fm[..., 1]), 1, h - 2).astype(jnp.int32)
+    base = (jnp.arange(V, dtype=jnp.int32) * (h * w))[:, None]
+    row = (base + v0 * w + u0).reshape(-1)              # [V*N]
+    g = jnp.take(packed, row, axis=0).reshape(V, N, O, 10)
+    cand_xyz = (g[..., 0:3].astype(jnp.float32)
+                + g[..., 3:6].astype(jnp.float32)
+                + g[..., 6:9].astype(jnp.float32))      # [V, N, O, 3]
+    valid = (g[..., 9] > 0.5) & front[:, :, None]
+
+    d2 = jnp.sum((xyz[None, :, None, :] - cand_xyz) ** 2, axis=-1)
+    BIG = jnp.finfo(jnp.float32).max / 4
+    d2 = jnp.where(valid, d2, BIG)
+
+    dxs = jnp.asarray([o[0] for o in PROJ_WINDOW], jnp.int32)
+    dys = jnp.asarray([o[1] for o in PROJ_WINDOW], jnp.int32)
+    idx = (base[:, :, None] + (v0[:, :, None] + dys) * w
+           + (u0[:, :, None] + dxs))                    # [V, N, O]
+
+    d2f = jnp.moveaxis(d2, 0, 1).reshape(N, V * O)
+    idxf = jnp.moveaxis(idx, 0, 1).reshape(N, V * O)
+    _, si = jax.lax.sort([d2f, idxf], num_keys=1, dimension=1)
+    return si[:, :K]
+
+
 def knn_gather(features: Array, idx: Array) -> Array:
     """Gather [M, C] features at [N, K] indices -> [N, K, C].
 

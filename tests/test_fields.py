@@ -186,9 +186,11 @@ def test_render_ray_knn_pruned_close(field_and_ctx):
 
     cfg_flat = dataclasses.replace(
         cfg, render=dataclasses.replace(cfg.render, knn_mode="flat"))
+    cfg_ray = dataclasses.replace(
+        cfg, render=dataclasses.replace(cfg.render, knn_mode="ray"))
     out_flat = ConditionalNeRF(cfg_flat).apply(
         variables, ctx, rays_o, rays_d, pose, False, method="render_rays")
-    out_ray = ConditionalNeRF(cfg).apply(
+    out_ray = ConditionalNeRF(cfg_ray).apply(
         variables, ctx, rays_o, rays_d, pose, False, method="render_rays")
     np.testing.assert_allclose(np.asarray(out_ray["rgb"]),
                                np.asarray(out_flat["rgb"]), atol=5e-3)

@@ -55,7 +55,8 @@ def test_render_onehot_matches_gather():
 
     def run(mode):
         c = dataclasses.replace(
-            cfg, render=dataclasses.replace(cfg.render, geo_assembly=mode))
+            cfg, render=dataclasses.replace(cfg.render, geo_assembly=mode,
+                                            knn_mode="ray"))
         return ConditionalNeRF(c).apply(
             variables, ctx, rays_o, rays_d, pose, False, method="render_rays")
 

@@ -1,0 +1,80 @@
+"""Projection-window render KNN (ops/knn.knn_proj) on a structured scene.
+
+knn_rays' segment pruning collapses at production cloud density (6.5%
+candidate recall measured at [4096 rays x 24k pts]); knn_proj replaces it
+in the render hot loop. These tests pin its recall against brute-force
+KNN on the synthetic box scene — near the surface, where neighbors carry
+aggregation weight, recall must be ~1.
+"""
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from nerfloc_tpu.configs import Config, MatchingConfig, RenderConfig, compute_dtype_of
+from nerfloc_tpu.data import device_batch, make_query_batch
+from nerfloc_tpu.models.pose_estimator import NerfPoseEstimator
+
+
+@pytest.fixture(scope="module")
+def box_ctx():
+    cfg = Config(backbone2d_fpn_dim=16, model_3d_hidden_dim=16,
+                 matcher_hidden_dim=24, n_views_train=3,
+                 render=RenderConfig(N_samples=8, N_rand=8, knn_mode="proj"),
+                 matching=MatchingConfig(fine_num_3d_keypoints=32,
+                                         coarse_num_3d_keypoints=32))
+    model = NerfPoseEstimator(cfg, dtype=compute_dtype_of(cfg))
+    batch = {k: jnp.asarray(v) for k, v in
+             device_batch(make_query_batch(n_views=3, H=64, W=96, seed=0)).items()}
+    rng = jax.random.PRNGKey(0)
+    params = jax.jit(model.init)(rng, batch, rng)
+    ctx = jax.jit(lambda p, b: model.apply(p, b, method=model.build_context)[0])(
+        params, batch)
+    return cfg, model, params, batch, ctx
+
+
+def test_knn_proj_recall_near_surface(box_ctx):
+    from nerfloc_tpu.ops.knn import knn_proj
+    from nerfloc_tpu.models.fields.projector import compute_projections
+
+    cfg, model, params, batch, ctx = box_ctx
+    pts = np.asarray(ctx.fine.xyz)
+    mask = np.asarray(ctx.fine.mask)
+    H, W = batch["image"].shape[:2]
+    hf, wf = ctx.feat_fine_src.shape[1:3]
+    stride = H // hf
+
+    # samples around the surface: perturb valid points
+    rng = np.random.default_rng(3)
+    sel = rng.choice(np.where(mask)[0], 400, replace=False)
+    for sigma, floor in ((0.0, 0.95), (0.02, 0.9)):
+        samples = pts[sel] + rng.normal(0, sigma, (len(sel), 3)).astype(np.float32)
+        proj = compute_projections(jnp.asarray(samples), ctx.sv.Ks,
+                                   ctx.sv.poses, H, W)
+        idx = np.asarray(knn_proj(jnp.asarray(samples),
+                                  proj.uv / float(stride), proj.in_front,
+                                  ctx.xyz_window_packed, hf, wf, K=8))
+        ptsm = pts.copy()
+        ptsm[~mask] = 1e9
+        d = ((samples[:, None, :] - ptsm[None]) ** 2).sum(-1)
+        exact = np.argsort(d, axis=1)[:, :8]
+        rec = np.mean([len(set(idx[i]) & set(exact[i])) / 8.0
+                       for i in range(len(sel))])
+        assert rec >= floor, f"sigma={sigma}: recall {rec:.3f} < {floor}"
+
+
+def test_render_proj_mode_runs_and_is_finite(box_ctx):
+    cfg, model, params, batch, ctx = box_ctx
+    pose = batch["pose"]
+    R = 6
+    rays_o = jnp.broadcast_to(pose[:3, 3], (R, 3))
+    d = jnp.stack([jnp.linspace(-0.1, 0.1, R), jnp.zeros(R), jnp.ones(R)], -1)
+    rays_d = (pose[:3, :3] @ (d / jnp.linalg.norm(d, axis=-1, keepdims=True)).T).T
+
+    def f(m):
+        return m.model_3d.render_rays(ctx, rays_o, rays_d, pose, False)
+    out = model.apply(params, method=f)
+    assert np.isfinite(np.asarray(out["rgb"])).all()
+    assert np.isfinite(np.asarray(out["depth"])).all()
