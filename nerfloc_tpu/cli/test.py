@@ -46,8 +46,12 @@ def main():
     cfg = load_config(args.config)
     cfg = override_cfg_with_args(cfg, args)
 
-    n_dev = len(jax.devices())
-    mesh = make_mesh(MeshSpec(data=n_dev, ray=1))
+    # multi-process eval runs process-LOCAL meshes (each process evaluates
+    # its test-set shard independently, reference-DDP style) and merges the
+    # metric arrays afterwards (train/evaluate.py + parallel/multihost.py)
+    devices = jax.local_devices()
+    n_dev = len(devices)
+    mesh = make_mesh(MeshSpec(data=n_dev, ray=1), devices=devices)
     batch_size = n_dev
 
     test_ds = build_dataset(cfg, "test", mode="test")

@@ -16,11 +16,11 @@ logical axes:
 
 The eval all_gather_object (reference pl/model.py:194-197) is unnecessary on
 a single host: the jitted eval step already returns globally-addressable
-outputs, and train/evaluate.py reduces them in one process. A multi-host
-deployment would shard the test set per process and
-`multihost_utils.process_allgather` the per-query metric arrays before
-aggregate_per_scene — not implemented (this environment is single-host;
-see train/evaluate.py guard).
+outputs, and train/evaluate.py reduces them in one process. Multi-process
+eval shards the test set per process (strided, reference-DDP style) and
+`multihost_utils.process_allgather`s the per-query metric arrays before
+aggregate_per_scene — see parallel/multihost.py; exercised by
+tests/test_multihost.py with two coordinated CPU processes.
 """
 from __future__ import annotations
 

@@ -21,14 +21,17 @@ import numpy as np
 
 from ..data import device_batch, stack_batches
 from ..parallel.mesh import shard_batch
+from ..parallel.multihost import allgather_metrics, process_shard_indices
 from ..utils.metrics import aggregate_per_scene
 
 
 def _prefetch_eval_batches(test_ds, batch_size: int, num_workers: int = 8,
-                           depth: int = 2):
+                           depth: int = 2, indices=None):
     """Yield (items, real_count, host_batch) with the final batch padded by
-    repeating its last item."""
-    n = len(test_ds)
+    repeating its last item. `indices` restricts iteration to a subset of
+    the test set (multi-process shard)."""
+    pool_idx = list(range(len(test_ds))) if indices is None else list(indices)
+    n = len(pool_idx)
     starts = list(range(0, n, batch_size))
     q: "queue.Queue" = queue.Queue(maxsize=depth)
     stop = threading.Event()
@@ -39,7 +42,7 @@ def _prefetch_eval_batches(test_ds, batch_size: int, num_workers: int = 8,
                 for start in starts:
                     if stop.is_set():
                         return
-                    idxs = list(range(start, min(start + batch_size, n)))
+                    idxs = pool_idx[start:start + batch_size]
                     real = len(idxs)
                     idxs = idxs + [idxs[-1]] * (batch_size - real)
                     items = list(pool.map(lambda i: test_ds[int(i)], idxs))
@@ -65,14 +68,17 @@ def _prefetch_eval_batches(test_ds, batch_size: int, num_workers: int = 8,
 def eval_dataset(test_ds, eval_step, params, mesh, batch_size: int,
                  rng, scene_names: Dict[int, str], cfg,
                  collect_poses: bool = False) -> Dict:
-    if jax.process_count() > 1:
+    multiproc = jax.process_count() > 1
+    if multiproc and collect_poses:
         raise NotImplementedError(
-            "multi-host eval needs a per-process test-set shard + "
-            "process_allgather of the metric arrays (parallel/mesh.py)")
+            "pose/trajectory dumps (filenames) are a single-host workflow; "
+            "run the vis pass on one host")
+    indices = process_shard_indices(len(test_ds)) if multiproc else None
     name_to_id = {v: k for k, v in scene_names.items()}
     rot, trans, sids, scales, files, ious = [], [], [], [], [], []
     poses_pred, poses_gt = [], []
-    for items, real, host_batch in _prefetch_eval_batches(test_ds, batch_size):
+    for items, real, host_batch in _prefetch_eval_batches(
+            test_ds, batch_size, indices=indices):
         batch = shard_batch(host_batch, mesh)
         rng, erng = jax.random.split(rng)
         out = eval_step(params, batch, erng)
@@ -86,14 +92,30 @@ def eval_dataset(test_ds, eval_step, params, mesh, batch_size: int,
         if collect_poses:
             poses_pred.append(np.asarray(out["pose_pred"])[:real])
             poses_gt.extend(np.asarray(it["pose"]) for it in items[:real])
+    rot = np.concatenate(rot)
+    trans = np.concatenate(trans)
+    sids = np.asarray(sids)
+    scales = np.asarray(scales)
+    iou = np.concatenate(ious) if ious else None
+    n_files = len(files)
+    if multiproc:
+        # reference pl/model.py:194-197 all_gather_object equivalent
+        local = {"rot": rot, "trans": trans,
+                 "sid": sids.astype(np.int64), "scale": scales}
+        if iou is not None:
+            local["iou"] = iou
+        g = allgather_metrics(local, indices, len(test_ds))
+        rot, trans, sids, scales = g["rot"], g["trans"], g["sid"], g["scale"]
+        iou = g.get("iou")
+        n_files = len(test_ds)
     results = aggregate_per_scene(
-        np.asarray(sids), np.concatenate(rot), np.concatenate(trans),
-        scene_names, np.asarray(scales),
+        sids, rot, trans,
+        scene_names, scales,
         rot_thresh=cfg.rotation_eval_thresh,
         trans_thresh=cfg.translation_eval_thresh,
         dataset_type=cfg.dataset_type,
-        extras={"matching_iou": np.concatenate(ious)} if ious else None)
-    results["avg"]["files"] = len(files)
+        extras={"matching_iou": iou} if iou is not None else None)
+    results["avg"]["files"] = n_files
     if collect_poses:
         results["_poses"] = {
             "filenames": files,
