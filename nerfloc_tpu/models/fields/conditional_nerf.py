@@ -28,7 +28,8 @@ from ...geometry.cameras import get_rays, scale_intrinsics, world_to_camera
 from ...geometry.embedder import Embedder
 from ...geometry.math import safe_normalize, safe_sqrt
 from ...ops.interp import pack_bilinear_corners, resize_nearest
-from ...ops.knn import knn, knn_gather, knn_proj, knn_rays, pack_xyz_window
+from ...ops.knn import (knn, knn_gather, knn_proj, knn_rays,
+                        pack_xyz_window, split_bf16x3)
 from ..transformer import MultiHeadAttention
 from .aggregator import MultiviewFeatureAggregator, SupportViews
 from .context import NeuralPoints, SceneContext
@@ -292,10 +293,9 @@ class ConditionalNeRF(nn.Module):
             g8 = jnp.concatenate(
                 [points.xyz, points.direction,
                  points.confidence.astype(points.xyz.dtype)], axis=-1)
-            hi = g8.astype(bf)
-            r = g8 - hi.astype(jnp.float32)
-            mid = r.astype(bf)
-            lo = (r - mid.astype(jnp.float32)).astype(bf)
+            # bit-masked split: exact under --xla_allow_excess_precision
+            # (see ops/knn.split_bf16x3)
+            hi, mid, lo = split_bf16x3(g8)
             table = jnp.concatenate(
                 [hi, mid, lo, points.mask[:, None].astype(bf),
                  points.feature.astype(bf)], axis=-1)        # [M, 25+F]

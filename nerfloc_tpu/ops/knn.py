@@ -266,23 +266,44 @@ def knn_rays(rays_o: Array, rays_d: Array, z_vals: Array, points: Array,
 PROJ_WINDOW = tuple((dx, dy) for dy in (-1, 0, 1) for dx in (-1, 0, 1))
 
 
+def split_bf16x3(x: Array):
+    """Split f32 into three bf16 components whose f32 sum recovers x to
+    ~24 mantissa bits (for storing exact-rank geometry in bf16 tables:
+    f32 row gathers measured ~8x slower than bf16 on v5e).
+
+    Bit-masked truncation, NOT FP subtract-and-round: the axon terminal
+    forces --xla_allow_excess_precision=true, under which XLA folds the
+    `x - cvt(cvt(x, bf16), f32)` convert pairs and the reconstruction
+    degrades to hi-level error (measured 1.5e-2 max on v5e). Masking the
+    low mantissa bits through bitcasts is exact and cannot be simplified
+    away. Each truncated value has only the top-16 f32 bits set, so its
+    bf16 cast and the f32 residual subtractions are exact.
+    """
+    bits = jax.lax.bitcast_convert_type(x, jnp.uint32)
+    hi = jax.lax.bitcast_convert_type(bits & jnp.uint32(0xFFFF0000),
+                                      jnp.float32)
+    r1 = x - hi
+    b1 = jax.lax.bitcast_convert_type(r1, jnp.uint32)
+    mid = jax.lax.bitcast_convert_type(b1 & jnp.uint32(0xFFFF0000),
+                                       jnp.float32)
+    lo = r1 - mid
+    bf = jnp.bfloat16
+    return hi.astype(bf), mid.astype(bf), lo.astype(bf)
+
+
 def pack_xyz_window(xyz_maps: Array, mask_maps: Array) -> Array:
     """Build the knn_proj candidate table: [V, h, w, 3] f32 point maps +
     [V, h, w] validity -> flat packed [V*h*w, 9*10] bf16 window table.
 
     Each offset contributes 10 channels: the point xyz split into three
-    bf16 components (hi/mid/lo — reconstructed by an f32 sum to ~24
-    mantissa bits; f32 row gathers measured ~8x slower than bf16 on v5e)
-    plus the validity bit.
+    bf16 components (split_bf16x3 — reconstructed by an f32 sum to ~24
+    mantissa bits) plus the validity bit.
     """
     from .interp import pack_window
 
-    bf = jnp.bfloat16
-    hi = xyz_maps.astype(bf)
-    r = xyz_maps - hi.astype(jnp.float32)
-    mid = r.astype(bf)
-    lo = (r - mid.astype(jnp.float32)).astype(bf)
-    ch = jnp.concatenate([hi, mid, lo, mask_maps[..., None].astype(bf)],
+    hi, mid, lo = split_bf16x3(xyz_maps)
+    ch = jnp.concatenate([hi, mid, lo,
+                          mask_maps[..., None].astype(jnp.bfloat16)],
                          axis=-1)                       # [V, h, w, 10]
     return pack_window(ch, PROJ_WINDOW)
 
@@ -300,10 +321,11 @@ def knn_proj(xyz: Array, uv_fm: Array, front: Array, packed: Array,
     search: per-ray segment-distance pruning (knn_rays) collapses on
     production-density clouds (measured 6.5% candidate recall at
     [4096 rays x 24k pts] — thousands of points tie at ~0 segment
-    distance), while this scheme measures 0.99 recall at the surface,
-    which is where neighbors carry weight (off-surface samples' true
-    neighbors are 5-90x the point spacing away for every method; their
-    1/dist aggregation weights are diffuse).
+    distance), while this scheme measures 0.97 recall for samples whose
+    nearest neighbor is within 2 grid spacings (vs 0.57 for knn_rays;
+    tools/knn_recall_study.py), which is where neighbors carry weight —
+    off-surface samples' true neighbors are 5-90x the point spacing away
+    for every method and their 1/dist aggregation weights are diffuse.
 
     Args:
       xyz: [N, 3] f32 sample points; uv_fm: [V, N, 2] projections in

@@ -105,6 +105,16 @@ def main():
                        n_candidates=cfg.render.knn_candidates)
         return jnp.sum(idx)
 
+    from nerfloc_tpu.ops.knn import knn_proj
+
+    @jax.jit
+    def f_knn_proj(ctx, xyz_flat):
+        proj = compute_projections(xyz_flat, ctx.sv.Ks, ctx.sv.poses, H, W)
+        hf, wf = ctx.feat_fine_src.shape[1:3]
+        idx = knn_proj(xyz_flat, proj.uv / float(H // hf), proj.in_front,
+                       ctx.xyz_window_packed, hf, wf, K=8)
+        return jnp.sum(idx)
+
     @jax.jit
     def f_agg(params, ctx, xyz_flat):
         Hs, Ws = ctx.sv.images.shape[1:3]
@@ -203,6 +213,7 @@ def main():
     print(f"fine cloud: {ctx.fine.xyz.shape[0]} pts, R={R}, S={S}, V={V}")
     stages = [
         ("knn_rays", f_knn, (rays_o, rays_d, z_vals, ctx)),
+        ("knn_proj (default)", f_knn_proj, (ctx, xyz_flat)),
         ("proj+aggregate", f_agg, (params, ctx, xyz_flat)),
         ("query(full, knn given)", f_query,
          (params, ctx, xyz_flat, dir_flat, knn_idx_c)),
