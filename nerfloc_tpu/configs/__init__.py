@@ -40,6 +40,10 @@ class RenderConfig:
     #     measured) because thousands of points tie at ~0 segment
     #     distance; kept for small/sparse clouds.
     knn_mode: str = "proj"
+    # knn_proj window side: 3 -> 0.97 at-surface recall; 5 -> 1.00
+    # at-surface and 0.45 in the 6-30cm band at ~2.8x the candidate-table
+    # width (tools/knn_recall_study.py)
+    knn_proj_window: int = 3
     knn_candidates: int = 128
     # neighbor geometry/feature assembly in the render hot loop: 'gather'
     # does one [R*S*K]-row packed gather; 'onehot' selects neighbors from

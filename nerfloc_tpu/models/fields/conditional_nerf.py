@@ -212,7 +212,8 @@ class ConditionalNeRF(nn.Module):
         V = images.shape[0]
         hf, wf = feat_fine_src.shape[1:3]
         xyz_window_packed = pack_xyz_window(
-            fine.xyz.reshape(V, hf, wf, 3), fine.mask.reshape(V, hf, wf))
+            fine.xyz.reshape(V, hf, wf, 3), fine.mask.reshape(V, hf, wf),
+            win=self.cfg.render.knn_proj_window)
 
         return SceneContext(sv=sv, coarse=coarse, fine=fine,
                             feat_coarse_src=feat_coarse_src,
@@ -490,7 +491,8 @@ class ConditionalNeRF(nn.Module):
             # f32 re-rank keeps or rejects them by true distance
             knn_idx = knn_proj(xyz_flat, proj.uv / float(stride),
                                proj.in_front, ctx.xyz_window_packed,
-                               hf, wf, K=8)
+                               hf, wf, K=8,
+                               win=cfg.render.knn_proj_window)
         elif cfg.render.knn_mode == "ray":
             # ray-coherent KNN: per-ray candidate pruning + exact per-sample
             # refinement — S times less top-k/matmul work than flat KNN over

@@ -263,7 +263,12 @@ def knn_rays(rays_o: Array, rays_d: Array, z_vals: Array, points: Array,
     return sidx[..., :K], cand_idx, slid[..., :K]
 
 
-PROJ_WINDOW = tuple((dx, dy) for dy in (-1, 0, 1) for dx in (-1, 0, 1))
+def _proj_window(win: int):
+    r = win // 2
+    return tuple((dx, dy) for dy in range(-r, r + 1) for dx in range(-r, r + 1))
+
+
+PROJ_WINDOW = _proj_window(3)
 
 
 def split_bf16x3(x: Array):
@@ -291,13 +296,15 @@ def split_bf16x3(x: Array):
     return hi.astype(bf), mid.astype(bf), lo.astype(bf)
 
 
-def pack_xyz_window(xyz_maps: Array, mask_maps: Array) -> Array:
+def pack_xyz_window(xyz_maps: Array, mask_maps: Array, win: int = 3) -> Array:
     """Build the knn_proj candidate table: [V, h, w, 3] f32 point maps +
-    [V, h, w] validity -> flat packed [V*h*w, 9*10] bf16 window table.
+    [V, h, w] validity -> flat packed [V*h*w, win^2*10] bf16 window table.
 
     Each offset contributes 10 channels: the point xyz split into three
     bf16 components (split_bf16x3 — reconstructed by an f32 sum to ~24
-    mantissa bits) plus the validity bit.
+    mantissa bits) plus the validity bit. win=3 covers the at-surface
+    8-NN at 0.97 recall; win=5 reaches 1.00 at-surface and 0.45 in the
+    6-30cm band at ~2.8x the table width (tools/knn_recall_study.py).
     """
     from .interp import pack_window
 
@@ -305,11 +312,11 @@ def pack_xyz_window(xyz_maps: Array, mask_maps: Array) -> Array:
     ch = jnp.concatenate([hi, mid, lo,
                           mask_maps[..., None].astype(jnp.bfloat16)],
                          axis=-1)                       # [V, h, w, 10]
-    return pack_window(ch, PROJ_WINDOW)
+    return pack_window(ch, _proj_window(win))
 
 
 def knn_proj(xyz: Array, uv_fm: Array, front: Array, packed: Array,
-             h: int, w: int, K: int) -> Array:
+             h: int, w: int, K: int, win: int = 3) -> Array:
     """Projection-window KNN for render samples against support neural
     points (TPU-native replacement for per-sample exact KNN in the render
     hot loop, reference model.py:509-517 / pytorch3d knn_points).
@@ -337,9 +344,11 @@ def knn_proj(xyz: Array, uv_fm: Array, front: Array, packed: Array,
       candidates; downstream 1/dist weighting tolerates the double-count.
     """
     V, N = uv_fm.shape[0], uv_fm.shape[1]
-    O = len(PROJ_WINDOW)
-    u0 = jnp.clip(jnp.round(uv_fm[..., 0]), 1, w - 2).astype(jnp.int32)
-    v0 = jnp.clip(jnp.round(uv_fm[..., 1]), 1, h - 2).astype(jnp.int32)
+    offs = _proj_window(win)
+    O = len(offs)
+    r = win // 2
+    u0 = jnp.clip(jnp.round(uv_fm[..., 0]), r, w - 1 - r).astype(jnp.int32)
+    v0 = jnp.clip(jnp.round(uv_fm[..., 1]), r, h - 1 - r).astype(jnp.int32)
     base = (jnp.arange(V, dtype=jnp.int32) * (h * w))[:, None]
     row = (base + v0 * w + u0).reshape(-1)              # [V*N]
     g = jnp.take(packed, row, axis=0).reshape(V, N, O, 10)
@@ -352,8 +361,8 @@ def knn_proj(xyz: Array, uv_fm: Array, front: Array, packed: Array,
     BIG = jnp.finfo(jnp.float32).max / 4
     d2 = jnp.where(valid, d2, BIG)
 
-    dxs = jnp.asarray([o[0] for o in PROJ_WINDOW], jnp.int32)
-    dys = jnp.asarray([o[1] for o in PROJ_WINDOW], jnp.int32)
+    dxs = jnp.asarray([o[0] for o in offs], jnp.int32)
+    dys = jnp.asarray([o[1] for o in offs], jnp.int32)
     idx = (base[:, :, None] + (v0[:, :, None] + dys) * w
            + (u0[:, :, None] + dxs))                    # [V, N, O]
 

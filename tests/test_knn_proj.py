@@ -65,6 +65,61 @@ def test_knn_proj_recall_near_surface(box_ctx):
         assert rec >= floor, f"sigma={sigma}: recall {rec:.3f} < {floor}"
 
 
+def test_split_bf16x3_reconstruction_is_exact():
+    """split_bf16x3 must reconstruct f32 to ~24 mantissa bits UNDER JIT.
+    The FP-subtract formulation it replaced was folded away by XLA when
+    --xla_allow_excess_precision=true is forced (the axon terminal does),
+    silently degrading stored geometry to bf16-hi error (1.5e-2) and
+    costing knn_proj 13% at-surface recall. Bit-masked truncation through
+    bitcasts cannot be simplified."""
+    from nerfloc_tpu.ops.knn import split_bf16x3
+
+    x = jnp.asarray(np.random.default_rng(0).normal(size=(512, 3)) * 7.3,
+                    jnp.float32)
+    hi, mid, lo = jax.jit(split_bf16x3)(x)
+    rec = (hi.astype(jnp.float32) + mid.astype(jnp.float32)
+           + lo.astype(jnp.float32))
+    err = np.abs(np.asarray(rec) - np.asarray(x))
+    assert err.max() <= np.abs(np.asarray(x)).max() * 2 ** -22
+
+
+def test_knn_proj_window5_recall_not_worse(box_ctx):
+    """The 5x5 window's candidate set is a superset of 3x3's, so its
+    recall must dominate (config knob render.knn_proj_window)."""
+    from nerfloc_tpu.ops.knn import knn_proj, pack_xyz_window
+    from nerfloc_tpu.models.fields.projector import compute_projections
+
+    cfg, model, params, batch, ctx = box_ctx
+    pts = np.asarray(ctx.fine.xyz)
+    mask = np.asarray(ctx.fine.mask)
+    H, W = batch["image"].shape[:2]
+    hf, wf = ctx.feat_fine_src.shape[1:3]
+    stride = H // hf
+    V = ctx.sv.images.shape[0]
+    packed5 = pack_xyz_window(ctx.fine.xyz.reshape(V, hf, wf, 3),
+                              ctx.fine.mask.reshape(V, hf, wf), win=5)
+
+    rng = np.random.default_rng(5)
+    sel = rng.choice(np.where(mask)[0], 200, replace=False)
+    samples = pts[sel] + rng.normal(0, 0.03, (len(sel), 3)).astype(np.float32)
+    proj = compute_projections(jnp.asarray(samples), ctx.sv.Ks,
+                               ctx.sv.poses, H, W)
+    ptsm = pts.copy()
+    ptsm[~mask] = 1e9
+    d = ((samples[:, None, :] - ptsm[None]) ** 2).sum(-1)
+    exact = np.argsort(d, axis=1)[:, :8]
+
+    recs = {}
+    for win, packed in ((3, ctx.xyz_window_packed), (5, packed5)):
+        idx = np.asarray(knn_proj(jnp.asarray(samples),
+                                  proj.uv / float(stride), proj.in_front,
+                                  packed, hf, wf, K=8, win=win))
+        recs[win] = np.mean([len(set(idx[i]) & set(exact[i])) / 8.0
+                             for i in range(len(sel))])
+    assert recs[5] >= recs[3] - 1e-9
+    assert recs[5] >= 0.9
+
+
 def test_render_proj_mode_runs_and_is_finite(box_ctx):
     cfg, model, params, batch, ctx = box_ctx
     pose = batch["pose"]
