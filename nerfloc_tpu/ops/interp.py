@@ -103,7 +103,7 @@ def bilinear_sample(feat: Array, uv: Array, *, padding_mode: str = "border") -> 
 def pack_bilinear_corners(feats: Array) -> Array:
     """[V, H, W, C] -> flat packed 4-corner table [V*H*W, 4C].
 
-    Row (v*W*H + y*W + x) holds the 2x2 neighborhood at (y, x):
+    Row (v*H*W + y*W + x) holds the 2x2 neighborhood at (y, x):
     [feat[y,x] | feat[y,x+1] | feat[y+1,x] | feat[y+1,x+1]]. Built ONCE per
     query frame (SceneContext) so the render hot loop samples all views with
     a single flat row gather — the vmapped per-view gather XLA emits for
@@ -151,14 +151,18 @@ def packed_bilinear_sample_views(packed: Array, H: int, W: int,
     v = jnp.clip(uv[..., 1], 0.0, H - 1)
     u0 = jnp.clip(jnp.floor(u), 0, W - 2).astype(jnp.int32)
     v0 = jnp.clip(jnp.floor(v), 0, H - 2).astype(jnp.int32)
-    du = (u - u0).reshape(-1, 1).astype(packed.dtype)
-    dv = (v - v0).reshape(-1, 1).astype(packed.dtype)
+    # Sub-pixel weights stay f32 even for bf16 tables: bf16 du/dv quantize
+    # to ~2^-9 of a pixel. The f32 blend is elementwise (cheap vs the
+    # gather); only the blended output drops back to the table dtype.
+    du = (u - u0).reshape(-1, 1).astype(jnp.float32)
+    dv = (v - v0).reshape(-1, 1).astype(jnp.float32)
     base = (jnp.arange(V, dtype=jnp.int32) * (H * W))[:, None]
     idx = (base + v0 * W + u0).reshape(-1)
     g = jnp.take(packed, idx, axis=0)                   # [V*N, 4C]
     top = g[:, :C] * (1 - du) + g[:, C:2 * C] * du
     bot = g[:, 2 * C:3 * C] * (1 - du) + g[:, 3 * C:] * du
-    return (top * (1 - dv) + bot * dv).reshape(V, N, C)
+    out = top * (1 - dv) + bot * dv
+    return out.astype(packed.dtype).reshape(V, N, C)
 
 
 def bilinear_sample_views(feats: Array, uv: Array, *, padding_mode: str = "border") -> Array:

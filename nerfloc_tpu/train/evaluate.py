@@ -36,6 +36,18 @@ def _prefetch_eval_batches(test_ds, batch_size: int, num_workers: int = 8,
     q: "queue.Queue" = queue.Queue(maxsize=depth)
     stop = threading.Event()
 
+    def put(item) -> bool:
+        # Never block forever on a full queue: if the consumer exited early
+        # (eval_step exception) nobody drains it, so re-check `stop` while
+        # waiting instead of leaking a thread pinning device-sized batches.
+        while not stop.is_set():
+            try:
+                q.put(item, timeout=0.2)
+                return True
+            except queue.Full:
+                continue
+        return False
+
     def produce():
         try:
             with ThreadPoolExecutor(num_workers) as pool:
@@ -47,10 +59,11 @@ def _prefetch_eval_batches(test_ds, batch_size: int, num_workers: int = 8,
                     idxs = idxs + [idxs[-1]] * (batch_size - real)
                     items = list(pool.map(lambda i: test_ds[int(i)], idxs))
                     host = stack_batches([device_batch(i) for i in items])
-                    q.put((items, real, host))
-            q.put(None)
+                    if not put((items, real, host)):
+                        return
+            put(None)
         except BaseException as e:  # surface loader errors in the consumer
-            q.put(e)
+            put(e)
 
     threading.Thread(target=produce, daemon=True).start()
     try:
@@ -65,14 +78,34 @@ def _prefetch_eval_batches(test_ds, batch_size: int, num_workers: int = 8,
         stop.set()
 
 
+_FNAME_BYTES = 256
+
+
+def _encode_names(names) -> np.ndarray:
+    """Strings -> fixed-width [N, 256] uint8 rows so filenames ride the same
+    numeric process_allgather as the metric arrays (reference gathers them
+    via all_gather_object, pl/model.py:263-276)."""
+    arr = np.zeros((len(names), _FNAME_BYTES), np.uint8)
+    for i, s in enumerate(names):
+        b = s.encode("utf-8")[:_FNAME_BYTES]
+        arr[i, :len(b)] = np.frombuffer(b, np.uint8)
+    return arr
+
+
+def _decode_names(arr) -> list:
+    return [bytes(row[row != 0]).decode("utf-8") for row in np.asarray(arr)]
+
+
 def eval_dataset(test_ds, eval_step, params, mesh, batch_size: int,
                  rng, scene_names: Dict[int, str], cfg,
                  collect_poses: bool = False) -> Dict:
     multiproc = jax.process_count() > 1
-    if multiproc and collect_poses:
-        raise NotImplementedError(
-            "pose/trajectory dumps (filenames) are a single-host workflow; "
-            "run the vis pass on one host")
+    if multiproc and len(test_ds) < jax.process_count():
+        # An empty strided shard would reach np.concatenate([]) before the
+        # collective and hang the other processes mid-allgather.
+        raise ValueError(
+            f"multi-process eval needs len(test_ds) >= process_count "
+            f"({len(test_ds)} < {jax.process_count()})")
     indices = process_shard_indices(len(test_ds)) if multiproc else None
     name_to_id = {v: k for k, v in scene_names.items()}
     rot, trans, sids, scales, files, ious = [], [], [], [], [], []
@@ -104,10 +137,20 @@ def eval_dataset(test_ds, eval_step, params, mesh, batch_size: int,
                  "sid": sids.astype(np.int64), "scale": scales}
         if iou is not None:
             local["iou"] = iou
+        if collect_poses:
+            local["pose_pred"] = np.concatenate(poses_pred, axis=0)
+            local["pose_gt"] = np.stack(poses_gt)
+            local["fname"] = _encode_names(files)
         g = allgather_metrics(local, indices, len(test_ds))
         rot, trans, sids, scales = g["rot"], g["trans"], g["sid"], g["scale"]
         iou = g.get("iou")
         n_files = len(test_ds)
+        if collect_poses:
+            # returned in global test-set order, identical on every process
+            # (reference rank-0 dump, pl/model.py:263-276)
+            files = _decode_names(g["fname"])
+            poses_pred = [g["pose_pred"]]
+            poses_gt = list(g["pose_gt"])
     results = aggregate_per_scene(
         sids, rot, trans,
         scene_names, scales,

@@ -29,21 +29,26 @@ WORKER = textwrap.dedent("""
     import numpy as np
     from nerfloc_tpu.parallel.multihost import (allgather_metrics,
                                                 process_shard_indices)
+    from nerfloc_tpu.train.evaluate import _decode_names, _encode_names
 
     N = 7
     idx = process_shard_indices(N)
     # fake per-query metrics derived from the global index so both ranks
-    # can verify the merged result independently
+    # can verify the merged result independently (pose + filename arrays
+    # exercise the multi-process collect_poses gather path)
     local = {
         "rot": np.asarray([i * 1.0 for i in idx], np.float32),
         "pose": np.stack([np.full((2, 2), i, np.float32) for i in idx])
         if idx else np.zeros((0, 2, 2), np.float32),
+        "fname": _encode_names([f"seq-01/frame-{i:06d}.png" for i in idx]),
     }
     g = allgather_metrics(local, idx, N)
     assert g["rot"].shape == (N,), g["rot"].shape
     assert np.allclose(g["rot"], np.arange(N)), g["rot"]
     assert g["pose"].shape == (N, 2, 2)
     assert np.allclose(g["pose"][:, 0, 0], np.arange(N))
+    names = _decode_names(g["fname"])
+    assert names == [f"seq-01/frame-{i:06d}.png" for i in range(N)], names
     print(f"rank {rank} OK", flush=True)
 """) % (REPO,)
 

@@ -123,8 +123,9 @@ def _synthetic_ray_scene(seed=6, R=32, S=16, M=2000):
 
 
 def test_knn_rays_recall():
-    """Candidate recall vs exact KNN, both selection dtypes: exact f32
-    selection >= 0.995; the default bf16 selection (3.3x faster on TPU,
+    """Candidate recall vs exact KNN, both selection dtypes: the default
+    exact f32 selection >= 0.995; the bf16 selection the render path opts
+    into (3.3x faster on TPU,
     rank noise at the candidate boundary only) >= 0.98 — the lost neighbors
     are overwhelmingly the farthest of K=8, whose 1/dist aggregation weight
     is minimal (render-closeness guarded by
@@ -203,3 +204,31 @@ def test_packed_bilinear_matches_bilinear_sample():
     want = jax.vmap(lambda f, p: bilinear_sample(f, p))(feats, uv)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                rtol=1e-5, atol=1e-5)
+
+
+def test_packed_bilinear_bf16_table_f32_weights():
+    """The production hot path packs tables in bf16; sub-pixel weights must
+    stay f32 (bf16 du/dv quantize to ~2^-9). Pin it with a case where weight
+    precision is the ONLY error source: a bf16-exact +/-1 checker along u,
+    sampled at du = 0.5 + delta. Exact blend = -2*delta (tiny, so the bf16
+    OUTPUT cast is relatively precise there); bf16 du would round to the
+    2^-9 grid near 0.5 and err by up to ~2^-8 absolute."""
+    from nerfloc_tpu.ops.interp import (
+        pack_bilinear_corners,
+        packed_bilinear_sample_views,
+    )
+
+    V, H, W, C = 1, 4, 16, 8
+    x = np.arange(W)
+    feats = np.broadcast_to(((-1.0) ** x)[None, None, :, None],
+                            (V, H, W, C)).astype(np.float32)
+    deltas = np.linspace(-(2 ** -10), 2 ** -10, 64).astype(np.float32)
+    u = 6.0 + 0.5 + deltas
+    uv = jnp.asarray(np.stack([u, np.full_like(u, 2.0)], -1)[None], jnp.float32)
+
+    packed16 = pack_bilinear_corners(jnp.asarray(feats)).astype(jnp.bfloat16)
+    got = np.asarray(packed_bilinear_sample_views(packed16, H, W, uv),
+                     np.float32)
+    want = (-2.0 * deltas)[None, :, None]
+    err = np.max(np.abs(got - want))
+    assert err < 2 ** -12, f"sub-pixel weight quantization err {err:.2e}"
