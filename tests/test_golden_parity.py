@@ -5,9 +5,12 @@ fixed random inputs are pushed through the reference's torch modules at
 /root/reference and through the JAX rebuilds with ported weights; outputs
 must agree to float tolerance.
 
-Covered: MixtureLogisticsDistDecoder (forward + compute_visibility +
+Covered here: MixtureLogisticsDistDecoder (forward + compute_visibility +
 compute_prob), S2DMatching (score matrix + mutual-NN selection + focal loss),
-sample_pdf (det), RayUnet, and the fine-matching expectation head's grid.
+sample_pdf (det), RayUnet. The multiview core (Projector, fused_mean_variance,
+IBRNet MHA, SelfCrossTransformer), appearance adaptation, sine position
+embedding, and the fine-matching expectation head live in
+tests/test_golden_parity2.py.
 """
 import sys
 
