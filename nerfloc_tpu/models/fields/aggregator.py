@@ -54,11 +54,15 @@ class MultiviewFeatureAggregator(nn.Module):
         self.out_fc1 = nn.Dense(self.hidden_dim, dtype=self.dtype)
         self.out_fc2 = nn.Dense(self.out_channels, dtype=self.dtype)
 
-    def _sample_ray_feats(self, sv: SupportViews, xyz: Array):
+    def _sample_ray_feats(self, sv: SupportViews, xyz: Array,
+                          vis_packed: Optional[Array] = None):
         """Project [N,3] points into all views; sample vis featmaps + depths.
 
         Equivalent of project_points_dict (depth_fusion.py:128-147): validity
         uses the half-open bound (-0.5, size-0.5) (depth_fusion.py:122-123).
+        vis_packed: optional pack_bilinear_corners table of sv.vis_featmaps —
+        the guided coarse pass samples [V*rn*dn] rows; one flat row gather
+        runs ~6x faster than the vmapped per-view gather on v5e.
         """
         V, H, W = sv.images.shape[:3]
         proj = compute_projections(xyz, sv.Ks, sv.poses, H, W)
@@ -67,8 +71,12 @@ class MultiviewFeatureAggregator(nn.Module):
                 (v >= -0.5) & (v < H - 0.5)
         h, w = sv.vis_featmaps.shape[1], sv.vis_featmaps.shape[2]
         scale = jnp.array([(w - 1.0) / (W - 1.0), (h - 1.0) / (H - 1.0)], dtype=xyz.dtype)
-        ray_feats = jax.vmap(lambda fm, uv: bilinear_sample(fm, uv))(
-            sv.vis_featmaps, proj.uv * scale)
+        if vis_packed is not None:
+            ray_feats = packed_bilinear_sample_views(vis_packed, h, w,
+                                                     proj.uv * scale)
+        else:
+            ray_feats = jax.vmap(lambda fm, uv: bilinear_sample(fm, uv))(
+                sv.vis_featmaps, proj.uv * scale)
         ray_feats = ray_feats * valid[..., None].astype(ray_feats.dtype)
         return ray_feats, proj.depth, valid
 
@@ -176,16 +184,19 @@ class MultiviewFeatureAggregator(nn.Module):
 
     def predict_alpha_weights(self, sv: SupportViews, que_pts: Array,
                               que_depth: Array, que_dists: Array,
-                              alpha_ground_state: float = -15.0) -> Array:
+                              alpha_ground_state: float = -15.0,
+                              vis_packed: Optional[Array] = None) -> Array:
         """Volume-rendering weights along query rays from NeuRay alphas
         (predict_weights_from_neuray, multiview_aggregator.py:95-154).
 
         que_pts [rn, dn, 3], que_depth [rn, dn] (sorted), que_dists [rn, dn]
         inverse-normalized intervals. Returns weights [rn, dn].
+        vis_packed: see _sample_ray_feats.
         """
         rn, dn, _ = que_pts.shape
         flat = que_pts.reshape(rn * dn, 3)
-        ray_feats, prj_depth, valid = self._sample_ray_feats(sv, flat)
+        ray_feats, prj_depth, valid = self._sample_ray_feats(sv, flat,
+                                                             vis_packed)
         mean, var, vis_d, aw = self.dist_decoder(ray_feats)
 
         V = ray_feats.shape[0]

@@ -206,6 +206,11 @@ class ConditionalNeRF(nn.Module):
                  vis_featmaps.astype(self.dtype)], axis=-1)
             fused_fine_packed = pack_bilinear_corners(fused)
         rgb_packed = pack_bilinear_corners(images.astype(self.dtype))
+        # vis-only corner table for the guided coarse pass (tiny: 32ch)
+        vis_corner_packed = None
+        if self.cfg.render.N_importance > 0:
+            vis_corner_packed = pack_bilinear_corners(
+                vis_featmaps.astype(self.dtype))
 
         # 3x3-window candidate table for projection-window render KNN
         # (ops/knn.knn_proj): the fine points are the stride-s featmap grid
@@ -221,6 +226,7 @@ class ConditionalNeRF(nn.Module):
                             embedding_a=embedding_a,
                             fused_fine_packed=fused_fine_packed,
                             rgb_packed=rgb_packed,
+                            vis_corner_packed=vis_corner_packed,
                             xyz_window_packed=xyz_window_packed)
 
     # ------------------------------------------------------------------
@@ -315,20 +321,29 @@ class ConditionalNeRF(nn.Module):
         else:
             # ONE packed gather instead of four: TPU gathers are latency-
             # bound per row, so gathering [xyz|dir|conf|mask|feature]
-            # together costs about the same as gathering xyz alone (the
-            # mixed-dtype concat promotes to f32; a bf16/f32 split into two
-            # gathers measured slower in the fused render graph)
-            geo = jnp.concatenate([points.xyz, points.direction,
-                                   points.confidence.astype(points.xyz.dtype),
-                                   points.mask[:, None].astype(points.xyz.dtype),
-                                   points.feature.astype(points.xyz.dtype)],
-                                  axis=-1)
-            nbg = knn_gather(geo, idx)                      # [N, K, 9+F]
-            nb_xyz = nbg[..., :3]
-            nb_dir = nbg[..., 3:7]
-            nb_conf = nbg[..., 7:8]
-            nb_mask = nbg[..., 8]
-            nb_feat = nbg[..., 9:].astype(points.feature.dtype)
+            # together costs about the same as gathering xyz alone. The
+            # table is all-bf16 (f32 rows gather ~8x slower on v5e): the
+            # f32 geometry channels ride as three bf16 hi/mid/lo components
+            # (split_bf16x3, ~24 mantissa bits after the f32 sum; its
+            # custom VJP keeps confidence gradients alive in training) —
+            # 440B/row instead of the 816B/row f32 promotion.
+            g8 = jnp.concatenate(
+                [points.xyz, points.direction,
+                 points.confidence.astype(jnp.float32)], axis=-1)
+            hi, mid, lo = split_bf16x3(g8)
+            bf = jnp.bfloat16
+            geo = jnp.concatenate(
+                [hi, mid, lo, points.mask[:, None].astype(bf),
+                 points.feature.astype(bf)], axis=-1)       # [M, 25+F] bf16
+            nbg = knn_gather(geo, idx)                      # [N, K, 25+F]
+            gsel = (nbg[..., :8].astype(jnp.float32)
+                    + nbg[..., 8:16].astype(jnp.float32)
+                    + nbg[..., 16:24].astype(jnp.float32))
+            nb_xyz = gsel[..., :3]
+            nb_dir = gsel[..., 3:7]
+            nb_conf = gsel[..., 7:8]
+            nb_mask = nbg[..., 24].astype(jnp.float32)
+            nb_feat = nbg[..., 25:].astype(points.feature.dtype)
         if dists is None:
             d2 = jnp.sum((xyz[:, None, :] - nb_xyz) ** 2, axis=-1)
             d2 = jnp.where(nb_mask > 0.5, d2,
@@ -455,7 +470,8 @@ class ConditionalNeRF(nn.Module):
             que_pts = rays_o[:, None, :] + rays_d[:, None, :] * z_coarse[..., None]
             que_dists = depth2inv_dists(z_coarse, near, far)
             w_coarse = self.multiview_aggregator.predict_alpha_weights(
-                ctx.sv, que_pts, z_coarse, que_dists)
+                ctx.sv, que_pts, z_coarse, que_dists,
+                vis_packed=ctx.vis_corner_packed)
             depth_coarse = jnp.sum(w_coarse * z_coarse, axis=-1)
             z_mid = 0.5 * (z_coarse[:, :-1] + z_coarse[:, 1:])
             z_fine = sample_pdf_det(z_mid, jax.lax.stop_gradient(w_coarse[:, 1:-1]),
@@ -502,6 +518,7 @@ class ConditionalNeRF(nn.Module):
             ridx = knn_rays(rays_o, rays_d, z_vals, ctx.fine.xyz, K=8,
                             points_mask=ctx.fine.mask,
                             n_candidates=cfg.render.knn_candidates,
+                            selection_dtype=jnp.bfloat16,
                             return_candidates=onehot)
             if onehot:
                 ridx, cand_idx, local_idx = ridx

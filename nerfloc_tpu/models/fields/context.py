@@ -49,6 +49,10 @@ class SceneContext:
     # with one row gather (6x faster than the vmapped per-view gather)
     fused_fine_packed: Optional[Array] = None  # [V*Hf*Wf, 4*(C+32)]
     rgb_packed: Optional[Array] = None         # [V*H*W, 12]
+    # vis-featmap-only corner table for the NeuRay guided coarse pass
+    # (predict_alpha_weights): its [V*R*64]-row sampling is the dominant
+    # cost of hierarchical sampling and needs only the 32 ray-feat channels
+    vis_corner_packed: Optional[Array] = None  # [V*Hv*Wv, 128]
     # 3x3-window candidate table over the fine point grid for
     # projection-window render KNN (ops/knn.pack_xyz_window / knn_proj)
     xyz_window_packed: Optional[Array] = None  # [V*Hf*Wf, 90] bf16

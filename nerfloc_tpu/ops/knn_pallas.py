@@ -10,6 +10,13 @@ register heap). No [N, M] matrix ever touches HBM.
 Backward (reference knn.cu:446-554, atomicAdd scatter) is an analytic
 custom VJP: d d_k / d q = 2 (q - p_idx), d d_k / d p = scatter of the
 negative — expressed with JAX gather/segment_sum instead of atomics.
+
+STATUS (round-3 decision): kept as the documented Pallas exact-KNN
+exemplar + the analytic-VJP counterpart of the reference backward kernel,
+but NOT on any default path — the XLA approx_min_k/blocked formulations in
+ops/knn.py measured faster at production shapes on v5e in rounds 1 and 2
+(per-Pallas-tile dispatch overhead ~1-2us dominates at these tile counts;
+BASELINE.md post-mortems). Exact-parity tested in tests/test_knn_pallas.py.
 """
 from __future__ import annotations
 
