@@ -151,13 +151,74 @@ def main():
     float(pacc)
     loc_ms = (time.perf_counter() - t0) / loc_iters * 1000.0
 
+    # --- NeuRay-guided 16+16 sampling (the reference's own N_importance
+    # mechanism, model.py:487-496): equal-or-better PSNR than dense-64 at
+    # half the per-ray sample budget (BASELINE.md "Guided / reduced
+    # sampling"). Separate params: RayUnet norm shapes depend on the
+    # total sample count.
+    import dataclasses as _dc
+
+    cfg_g = _dc.replace(cfg, render=_dc.replace(cfg.render, N_samples=16,
+                                                N_importance=16))
+    model_g = NerfPoseEstimator(cfg_g, dtype=compute_dtype_of(cfg_g))
+    params_g = jax.jit(model_g.init)(rng, _shrink_init_batch(batch), rng)
+
+    @jax.jit
+    def build_ctx_g(params, batch):
+        return model_g.apply(params, batch, method=model_g.build_context)[0]
+
+    @jax.jit
+    def render_scan_g(params, ctx, ro_all, rd_all, pose):
+        def body(acc, rays):
+            ro, rd = rays
+
+            def f(m):
+                return m.model_3d.render_rays(ctx, ro, rd, pose, False)
+            out = model_g.apply(params, method=f)
+            return acc + jnp.sum(out["rgb"]) + jnp.sum(out["depth"]), ()
+        acc, _ = jax.lax.scan(body, jnp.float32(0.0), (ro_all, rd_all))
+        return acc
+
+    ctx_g = build_ctx_g(params_g, batch)
+    float(render_scan_g(params_g, ctx_g, ro_all, rd_all, batch["pose"]))
+    spin_up(1000.0)
+    t0 = time.perf_counter()
+    float(render_scan_g(params_g, ctx_g, ro_all, rd_all, batch["pose"]))
+    rays_per_sec_guided = n_rays * iters / (time.perf_counter() - t0)
+
+    # --- V=10 support views: the reference's test-time query shape
+    # (n_views_test=10, reference configs/__init__.py:29-30)
+    batch10 = {k: jnp.asarray(v) for k, v in
+               device_batch(make_query_batch(n_views=10, H=H, W=W,
+                                             seed=1)).items()}
+    ctx10 = build_ctx(params, batch10)
+    float(render_scan(params, ctx10, ro_all, rd_all, batch10["pose"]))
+    spin_up(1000.0)
+    t0 = time.perf_counter()
+    float(render_scan(params, ctx10, ro_all, rd_all, batch10["pose"]))
+    rays_per_sec_v10 = n_rays * iters / (time.perf_counter() - t0)
+
+    pose = localize(params, batch10, rng)
+    float(jnp.sum(pose))
+    spin_up(1000.0)
+    pacc = jnp.float32(0.0)
+    t0 = time.perf_counter()
+    for _ in range(loc_iters):
+        pacc = pacc + jnp.sum(localize(params, batch10, rng))
+    float(pacc)
+    loc_ms_v10 = (time.perf_counter() - t0) / loc_iters * 1000.0
+
     print(json.dumps({
         "metric": "render_rays_per_sec_per_chip",
         "value": round(rays_per_sec, 1),
         "unit": "rays/s",
         "vs_baseline": round(rays_per_sec / REFERENCE_RAYS_PER_SEC, 3),
         "value_dispatched": round(rays_per_sec_dispatched, 1),
+        "value_guided_16_16": round(rays_per_sec_guided, 1),
+        "vs_baseline_guided": round(rays_per_sec_guided / REFERENCE_RAYS_PER_SEC, 3),
+        "render_rays_per_sec_v10": round(rays_per_sec_v10, 1),
         "localize_ms_per_query": round(loc_ms, 1),
+        "localize_ms_per_query_v10": round(loc_ms_v10, 1),
     }))
 
 
