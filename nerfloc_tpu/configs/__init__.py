@@ -42,7 +42,10 @@ class RenderConfig:
     knn_mode: str = "proj"
     # knn_proj window side: 3 -> 0.97 at-surface recall; 5 -> 1.00
     # at-surface and 0.45 in the 6-30cm band at ~2.8x the candidate-table
-    # width (tools/knn_recall_study.py)
+    # width (tools/knn_recall_study.py). End-to-end on a TRAINED model
+    # (tools/knn_mode_study.py, BASELINE.md): win=3 already matches exact
+    # flat KNN (+0.04 dB PSNR, identical refined pose) and win=5 adds
+    # nothing (+0.03 dB) — so the default stays at the narrower table.
     knn_proj_window: int = 3
     knn_candidates: int = 128
     # neighbor geometry/feature assembly in the render hot loop: 'gather'

@@ -120,6 +120,51 @@ def test_knn_proj_window5_recall_not_worse(box_ctx):
     assert recs[5] >= 0.9
 
 
+def test_render_proj_matches_flat(box_ctx):
+    """proj-mode render must track the exact flat-KNN render.
+
+    Regression pin for the end-to-end study (tools/knn_mode_study.py,
+    BASELINE.md "Render-KNN end-to-end accuracy"): on a TRAINED model at
+    production density (240x320, V=5, ~24k-pt cloud), knn_mode='proj'
+    renders within +0.04 dB PSNR of 'flat' (reference-exact 8-NN,
+    reference conditional_nerf/model.py:364-436) and yields an identical
+    refined pose. Here the same comparison runs at fixture scale with
+    shared random-init params — neighbor-set differences off-surface are
+    the only divergence source, bounded because off-surface aggregation
+    weights are diffuse (1/dist)."""
+    cfg, model, params, batch, ctx = box_ctx
+    pose = batch["pose"]
+    R = 16
+    rng = np.random.default_rng(11)
+    d = np.stack([rng.uniform(-0.15, 0.15, R), rng.uniform(-0.1, 0.1, R),
+                  np.ones(R)], -1).astype(np.float32)
+    rays_d = jnp.asarray((np.asarray(pose[:3, :3])
+                          @ (d / np.linalg.norm(d, axis=-1, keepdims=True)).T).T)
+    rays_o = jnp.broadcast_to(pose[:3, 3], (R, 3))
+
+    outs = {}
+    for mode in ("proj", "flat"):
+        cfg_m = dataclasses.replace(
+            cfg, render=dataclasses.replace(cfg.render, knn_mode=mode))
+        model_m = NerfPoseEstimator(cfg_m, dtype=compute_dtype_of(cfg_m))
+
+        def f(m):
+            return m.model_3d.render_rays(ctx, rays_o, rays_d, pose, False)
+        outs[mode] = model_m.apply(params, method=f)
+    rgb_p = np.asarray(outs["proj"]["rgb"], np.float32)
+    rgb_f = np.asarray(outs["flat"]["rgb"], np.float32)
+    err = np.abs(rgb_p - rgb_f)
+    assert err.max() < 0.05, f"max rgb divergence {err.max():.4f}"
+    assert err.mean() < 0.01, f"mean rgb divergence {err.mean():.4f}"
+    # Depth only sanity-bounded here: an UNTRAINED density gives real
+    # volume-render weight to off-surface samples, whose neighbor sets
+    # legitimately differ between modes (measured ~0.25 max at this
+    # fixture). On the trained model the density collapses to the surface
+    # (recall ~1.0) and the study's refined pose is mode-identical.
+    np.testing.assert_allclose(np.asarray(outs["proj"]["depth"]),
+                               np.asarray(outs["flat"]["depth"]), atol=0.5)
+
+
 def test_render_proj_mode_runs_and_is_finite(box_ctx):
     cfg, model, params, batch, ctx = box_ctx
     pose = batch["pose"]
