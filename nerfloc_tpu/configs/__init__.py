@@ -47,6 +47,17 @@ class RenderConfig:
     # flat KNN (+0.04 dB PSNR, identical refined pose) and win=5 adds
     # nothing (+0.03 dB) — so the default stays at the narrower table.
     knn_proj_window: int = 3
+    # merged render-gather table (ops/interp.pack_render_table): ONE row
+    # gather per (sample, view) fetches bilinear featmap corners, the
+    # 5x5 KNN candidate window ([-1..+3] around the bilinear floor cell —
+    # a strict superset of knn_proj(win=3)'s round-anchored 3x3; see
+    # ops/interp.RENDER_WINDOW). TPU gathers are row-latency-bound, so
+    # merging the two featmap-resolution [V*N]-row gathers of the proj
+    # render into one halves the gather segment; full-res rgb keeps its
+    # own 12-column table (see pack_render_table for why).
+    # Auto-falls-back to the separate tables when the fine featmap and
+    # vis featmap resolutions differ, or when knn_mode != 'proj'.
+    use_merged_table: bool = True
     knn_candidates: int = 128
     # neighbor geometry/feature assembly in the render hot loop: 'gather'
     # does one [R*S*K]-row packed gather; 'onehot' selects neighbors from

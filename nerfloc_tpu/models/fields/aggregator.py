@@ -16,7 +16,8 @@ import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
-from ...ops.interp import bilinear_sample, packed_bilinear_sample_views
+from ...ops.interp import (bilinear_sample, packed_bilinear_sample_views,
+                           sample_render_table)
 from . import neuray
 from .projector import compute_projections, project_and_sample
 
@@ -99,7 +100,9 @@ class MultiviewFeatureAggregator(nn.Module):
 
     def __call__(self, sv: SupportViews, featmaps: Array, xyz: Array,
                  proj=None, fused_packed: Optional[Array] = None,
-                 rgb_packed: Optional[Array] = None):
+                 rgb_packed: Optional[Array] = None,
+                 render_table: Optional[Array] = None,
+                 samples=None):
         """Aggregate per-point multiview features
         (multiview_aggregator.py:156-222).
 
@@ -109,7 +112,13 @@ class MultiviewFeatureAggregator(nn.Module):
           fused_packed/rgb_packed: optional flat packed 4-corner tables of
           [featmaps|vis_featmaps] and sv.images (SceneContext fields) — the
           render hot loop samples through ONE flat row gather per table
-          instead of the ~6x slower vmapped per-view gathers.
+          instead of the ~6x slower vmapped per-view gathers;
+          render_table: optional merged render table
+          (ops/interp.pack_render_table) — supersedes both packed tables
+          with a single row gather;
+          samples: optional precomputed (rgb [V, N, 3], fused [V, N, C+32])
+          — the render loop's own sample_render_table outputs, shared so
+          the table is gathered once per chunk. Requires proj.
         Returns: (out [N, out_channels], rgb_feat [N, V, 3+C], vis [N, V, 1]).
         """
         V, H, W = sv.images.shape[:3]
@@ -119,11 +128,20 @@ class MultiviewFeatureAggregator(nn.Module):
             # resolution (stride-4 'fine' level — the render hot path),
             # sample both in ONE fused pass and split.
             if proj is None:
+                if samples is not None:
+                    raise ValueError("samples requires the matching proj")
                 proj = compute_projections(xyz, sv.Ks, sv.poses, H, W)
             h, w = featmaps.shape[1], featmaps.shape[2]
             scale = jnp.array([(w - 1.0) / (W - 1.0), (h - 1.0) / (H - 1.0)],
                               dtype=xyz.dtype)
-            if fused_packed is not None and rgb_packed is not None:
+            if samples is not None:
+                rgb, fused = samples
+            elif render_table is not None and rgb_packed is not None:
+                fused = sample_render_table(
+                    render_table, C + sv.vis_featmaps.shape[-1], H, W,
+                    h, w, proj.uv)[0]
+                rgb = packed_bilinear_sample_views(rgb_packed, H, W, proj.uv)
+            elif fused_packed is not None and rgb_packed is not None:
                 rgb = packed_bilinear_sample_views(rgb_packed, H, W, proj.uv)
                 fused = packed_bilinear_sample_views(fused_packed, h, w,
                                                      proj.uv * scale)

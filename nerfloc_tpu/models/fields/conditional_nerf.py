@@ -27,9 +27,12 @@ from ...configs import Config
 from ...geometry.cameras import get_rays, scale_intrinsics, world_to_camera
 from ...geometry.embedder import Embedder
 from ...geometry.math import safe_normalize, safe_sqrt
-from ...ops.interp import pack_bilinear_corners, resize_nearest
-from ...ops.knn import (knn, knn_gather, knn_proj, knn_rays,
-                        pack_xyz_window, split_bf16x3)
+from ...ops.interp import (pack_bilinear_corners, pack_render_table,
+                           packed_bilinear_sample_views, resize_nearest,
+                           sample_render_table)
+from ...ops.knn import (knn, knn_from_candidate_planes, knn_gather, knn_proj,
+                        knn_rays, pack_xyz_window, split_bf16x3,
+                        xyz_window_channels)
 from ..transformer import MultiHeadAttention
 from .aggregator import MultiviewFeatureAggregator, SupportViews
 from .context import NeuralPoints, SceneContext
@@ -196,29 +199,42 @@ class ConditionalNeRF(nn.Module):
         kp = self.keypoint_head(coarse.feature[:, 3:])  # model.py:178
         coarse = coarse.replace(kp_score=kp)
 
-        # packed 4-corner gather tables for the render hot loop (see
-        # ops/interp.pack_bilinear_corners). Fused fine+vis maps only when
-        # resolutions agree (stride-4 fine level, the hot path).
-        fused_fine_packed = None
-        if feat_fine_src.shape[1:3] == vis_featmaps.shape[1:3]:
+        # gather tables for the render hot loop. Preferred: ONE merged
+        # per-featmap-cell table (ops/interp.pack_render_table) holding
+        # [bilinear fused corners | 5x5 xyz candidate window] — one
+        # [V*N]-row gather per render chunk instead of two (TPU gathers
+        # are row-latency-bound); full-res rgb keeps its own 12-column
+        # table (see pack_render_table for why it must not be merged).
+        # Fallback (resolution mismatch / non-proj knn_mode): separate
+        # 4-corner + knn_proj window tables.
+        V = images.shape[0]
+        hf, wf = feat_fine_src.shape[1:3]
+        res_match = feat_fine_src.shape[1:3] == vis_featmaps.shape[1:3]
+        use_merged = (self.cfg.render.use_merged_table and res_match
+                      and self.cfg.render.knn_mode == "proj")
+        fused_fine_packed = render_table = xyz_window_packed = None
+        rgb_packed = pack_bilinear_corners(images.astype(self.dtype))
+        if res_match:
             fused = jnp.concatenate(
                 [feat_fine_src.astype(self.dtype),
                  vis_featmaps.astype(self.dtype)], axis=-1)
-            fused_fine_packed = pack_bilinear_corners(fused)
-        rgb_packed = pack_bilinear_corners(images.astype(self.dtype))
+            if use_merged:
+                xyz10 = xyz_window_channels(fine.xyz.reshape(V, hf, wf, 3),
+                                            fine.mask.reshape(V, hf, wf))
+                render_table = pack_render_table(fused, xyz10)
+            else:
+                fused_fine_packed = pack_bilinear_corners(fused)
+        if not use_merged:
+            # 3x3-window candidate table for projection-window render KNN
+            # (ops/knn.knn_proj): fine points are the stride-s featmap grid
+            xyz_window_packed = pack_xyz_window(
+                fine.xyz.reshape(V, hf, wf, 3), fine.mask.reshape(V, hf, wf),
+                win=self.cfg.render.knn_proj_window)
         # vis-only corner table for the guided coarse pass (tiny: 32ch)
         vis_corner_packed = None
         if self.cfg.render.N_importance > 0:
             vis_corner_packed = pack_bilinear_corners(
                 vis_featmaps.astype(self.dtype))
-
-        # 3x3-window candidate table for projection-window render KNN
-        # (ops/knn.knn_proj): the fine points are the stride-s featmap grid
-        V = images.shape[0]
-        hf, wf = feat_fine_src.shape[1:3]
-        xyz_window_packed = pack_xyz_window(
-            fine.xyz.reshape(V, hf, wf, 3), fine.mask.reshape(V, hf, wf),
-            win=self.cfg.render.knn_proj_window)
 
         return SceneContext(sv=sv, coarse=coarse, fine=fine,
                             feat_coarse_src=feat_coarse_src,
@@ -227,7 +243,8 @@ class ConditionalNeRF(nn.Module):
                             fused_fine_packed=fused_fine_packed,
                             rgb_packed=rgb_packed,
                             vis_corner_packed=vis_corner_packed,
-                            xyz_window_packed=xyz_window_packed)
+                            xyz_window_packed=xyz_window_packed,
+                            render_table=render_table)
 
     # ------------------------------------------------------------------
     # keypoint sampling
@@ -254,7 +271,7 @@ class ConditionalNeRF(nn.Module):
     def query(self, ctx: SceneContext, xyz: Array, level: str, K: int,
               direction: Optional[Array] = None,
               knn_idx: Optional[Array] = None,
-              proj=None, cand=None) -> Dict[str, Array]:
+              proj=None, cand=None, mv_samples=None) -> Dict[str, Array]:
         """Aggregate a descriptor for arbitrary 3D points (model.py:344-436).
 
         knn_idx: optional precomputed neighbor indices [N, K] (e.g. from the
@@ -269,15 +286,21 @@ class ConditionalNeRF(nn.Module):
         ~120-190M rows/s on v5e, so S*K/C ~ 4x fewer gather rows wins).
         The one-hot product is exact: f32 path at precision='highest',
         bf16 features selected by bf16 1.0s.
+        mv_samples: optional precomputed (rgb [V, N, 3], fused [V, N, Cf])
+        multiview samples from the merged render table (render_rays shares
+        its single table gather with the aggregator); requires proj.
         """
         cfg = self.cfg
         points = ctx.coarse if level == "coarse" else ctx.fine
         featmaps = ctx.feat_coarse_src if level == "coarse" else ctx.feat_fine_src
 
-        fused_packed = ctx.fused_fine_packed if level == "fine" else None
+        fine_level = level == "fine"
         mv_agg, mv_feat, mv_vis = self.multiview_aggregator(
-            ctx.sv, featmaps, xyz, proj=proj, fused_packed=fused_packed,
-            rgb_packed=ctx.rgb_packed if fused_packed is not None else None)
+            ctx.sv, featmaps, xyz, proj=proj,
+            fused_packed=ctx.fused_fine_packed if fine_level else None,
+            rgb_packed=ctx.rgb_packed if fine_level else None,
+            render_table=ctx.render_table if fine_level else None,
+            samples=mv_samples)
 
         if knn_idx is None:
             dists, idx = knn(xyz, points.xyz, K=K, points_mask=points.mask)
@@ -495,20 +518,38 @@ class ConditionalNeRF(nn.Module):
 
         knn_idx = None
         cand = None
+        mv_samples = None
         if cfg.render.knn_mode == "proj":
-            # projection-window KNN (ops/knn.knn_proj): candidates are the
-            # 3x3 featmap windows around each sample's projections — exact
-            # re-rank, 0.99 surface recall; see knn_proj docstring for why
-            # segment pruning (knn_rays) fails at production cloud density
+            # projection-window KNN: candidates are the featmap windows
+            # around each sample's projections — exact re-rank, 0.99
+            # surface recall; see knn_proj docstring for why segment
+            # pruning (knn_rays) fails at production cloud density
             hf, wf = ctx.feat_fine_src.shape[1:3]
             stride = Hs // hf
             # in_front only: out-of-bounds projections clip to border
             # pixels, whose points may legitimately be nearest — the exact
             # f32 re-rank keeps or rejects them by true distance
-            knn_idx = knn_proj(xyz_flat, proj.uv / float(stride),
-                               proj.in_front, ctx.xyz_window_packed,
-                               hf, wf, K=8,
-                               win=cfg.render.knn_proj_window)
+            if ctx.render_table is not None:
+                # merged-table path: ONE row gather serves the bilinear
+                # fused samples AND the 5x5 KNN candidate window; rgb
+                # rides its own cheap 12-col table (pack_render_table
+                # docstring explains why it must not be merged)
+                Cf = (ctx.feat_fine_src.shape[-1]
+                      + ctx.sv.vis_featmaps.shape[-1])
+                fused_s, cand_x, cand_y, cand_z, cand_valid, cand_idx = \
+                    sample_render_table(ctx.render_table, Cf, Hs, Ws,
+                                        hf, wf, proj.uv)
+                valid = cand_valid & proj.in_front[:, :, None]
+                knn_idx = knn_from_candidate_planes(
+                    xyz_flat, cand_x, cand_y, cand_z, valid, cand_idx, 8)
+                rgb_s = packed_bilinear_sample_views(
+                    ctx.rgb_packed, Hs, Ws, proj.uv)
+                mv_samples = (rgb_s, fused_s)
+            else:
+                knn_idx = knn_proj(xyz_flat, proj.uv / float(stride),
+                                   proj.in_front, ctx.xyz_window_packed,
+                                   hf, wf, K=8,
+                                   win=cfg.render.knn_proj_window)
         elif cfg.render.knn_mode == "ray":
             # ray-coherent KNN: per-ray candidate pruning + exact per-sample
             # refinement — S times less top-k/matmul work than flat KNN over
@@ -525,7 +566,8 @@ class ConditionalNeRF(nn.Module):
                 cand = (cand_idx, local_idx)
             knn_idx = ridx.reshape(R * N_samples, 8)
         qd = self.query(ctx, xyz_flat, level="fine", K=8, direction=dir_flat,
-                        knn_idx=knn_idx, proj=proj, cand=cand)
+                        knn_idx=knn_idx, proj=proj, cand=cand,
+                        mv_samples=mv_samples)
         feature_agg = qd["feature_agg"]
         mv_feat = qd["multiview_feature"]
         mv_vis = qd["multiview_visibility"]

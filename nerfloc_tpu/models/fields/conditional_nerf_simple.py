@@ -32,10 +32,11 @@ class ConditionalNeRFSimple(ConditionalNeRF):
     def query(self, ctx: SceneContext, xyz: Array, level: str, K: int,
               direction: Optional[Array] = None,
               knn_idx: Optional[Array] = None,
-              proj=None, cand=None) -> Dict[str, Array]:
+              proj=None, cand=None, mv_samples=None) -> Dict[str, Array]:
         """Mask-weighted projection average (model_simple.py:26-57).
-        knn_idx/proj/cand are accepted for render_rays interface parity and
-        ignored (this ablation does no KNN and samples its own projections)."""
+        knn_idx/proj/cand/mv_samples are accepted for render_rays interface
+        parity and ignored (this ablation does no KNN and samples its own
+        projections)."""
         featmaps = ctx.feat_coarse_src if level == "coarse" else ctx.feat_fine_src
         rgb, feat, mask = project_and_sample(xyz, ctx.sv.Ks, ctx.sv.poses,
                                              ctx.sv.images, featmaps)

@@ -54,5 +54,14 @@ class SceneContext:
     # cost of hierarchical sampling and needs only the 32 ray-feat channels
     vis_corner_packed: Optional[Array] = None  # [V*Hv*Wv, 128]
     # 3x3-window candidate table over the fine point grid for
-    # projection-window render KNN (ops/knn.pack_xyz_window / knn_proj)
+    # projection-window render KNN (ops/knn.pack_xyz_window / knn_proj);
+    # built only when the merged table below is unavailable
     xyz_window_packed: Optional[Array] = None  # [V*Hf*Wf, 90] bf16
+    # merged render-gather table (ops/interp.pack_render_table): one row
+    # per PADDED featmap cell holding [bilinear fused corners | 5x5 xyz
+    # candidate window (channel-major)], so the proj-mode render hot loop
+    # issues ONE [V*N]-row gather for features + KNN candidates
+    # (render.use_merged_table). Supersedes fused_fine_packed /
+    # xyz_window_packed when present; rgb_packed stays separate (see
+    # pack_render_table docstring).
+    render_table: Optional[Array] = None  # [V*(hf+4)*(wf+4), 4*Cf+250]

@@ -165,6 +165,127 @@ def packed_bilinear_sample_views(packed: Array, H: int, W: int,
     return out.astype(packed.dtype).reshape(V, N, C)
 
 
+# 5x5 candidate window of the merged render table, relative to the bilinear
+# floor cell. The support point grid sits at full-res pixels u = stride*c
+# (scale_intrinsics divides K by the stride), so the true nearest-cell
+# anchor is n = round(u/stride), while this table's rows are anchored at
+# a = floor(u*(wf-1)/(Ws-1)) — the bilinear corner cell. The drift
+# d = u/stride - u*(wf-1)/(Ws-1) = u*(stride-1)/(stride*(Ws-1)) lies in
+# [0, 1), so n = round(a_frac + d) is in [a, a+2] and the 3x3 window
+# around n is always inside offsets [-1..+3] around a: this window is a
+# strict superset of knn_proj(win=3)'s candidates at every pixel.
+RENDER_WINDOW = tuple((dx, dy) for dy in range(-1, 4) for dx in range(-1, 4))
+RENDER_WINDOW_PAD = 2   # ring width covering offset overshoot at the borders
+_NW = len(RENDER_WINDOW)          # 25 slots
+_WCOLS = _NW * 10                 # 10 channels/slot (xyz hi/mid/lo | mask)
+
+
+def pack_render_table(fused: Array, xyz10: Array) -> Array:
+    """Build the merged per-featmap-cell gather table of the render hot loop.
+
+    TPU gathers are row-latency-bound (~120-190M rows/s on v5e), so the
+    per-(sample, view) table gathers of the proj-mode render — bilinear
+    4-corner fused features and the knn_proj candidate window — cost a
+    gather pass each at the same [V*N]-row count. This table merges them
+    into columns of ONE row per featmap cell (padded by a
+    RENDER_WINDOW_PAD ring so the fixed window needs no re-clamping):
+
+      [0    : 4*Cf)          bilinear corners of [featmaps | vis]
+      [4*Cf : 4*Cf + _WCOLS) 5x5 window of the candidate cells
+                             (RENDER_WINDOW), laid out CHANNEL-MAJOR:
+                             [x_hi(25) | y_hi | z_hi | x_mid | y_mid |
+                              z_mid | x_lo | y_lo | z_lo | mask(25)] so
+                             every extraction downstream is a contiguous
+                             25-column slice (the offset-major [25, 10]
+                             layout forces stride-10 lane relayouts that
+                             measured ~2x the whole gather's cost).
+
+    Full-res rgb deliberately stays in its own 12-column table
+    (pack_bilinear_corners(images)): appending a 7x7 pixel block here
+    widened rows from 1146 to 1293 columns and made the row gather ~4x
+    slower on v5e (13.5 -> 50.7 ms at 1.31M rows) — far more than the
+    12-column gather it saved.
+
+    Args: fused [V, hf, wf, Cf] (featmaps + vis featmaps, compute dtype);
+      xyz10 [V, hf, wf, 10] (ops/knn.xyz_window_channels: split_bf16x3 of
+      the fine point grid + mask).
+    Returns: [V*(hf+2p)*(wf+2p), 4*Cf + _WCOLS], p = RENDER_WINDOW_PAD.
+    Rows are indexed in PADDED cell coords; sample_render_table owns the
+    index math. Ring rows are only addressed by window offsets, whose zero
+    mask channel marks them invalid.
+    """
+    V, hf, wf, Cf = fused.shape
+    p = RENDER_WINDOW_PAD
+    pad2d = lambda x: jnp.pad(x, ((0, 0), (p, p), (p, p), (0, 0)))
+
+    corners = pack_window(pad2d(fused), ((0, 0), (1, 0), (0, 1), (1, 1)))
+    window = pack_window(pad2d(xyz10), RENDER_WINDOW)
+    # offset-major [slot, channel] -> channel-major [channel, slot]
+    window = window.reshape(-1, _NW, 10).transpose(0, 2, 1).reshape(-1, _WCOLS)
+    if window.dtype != corners.dtype:
+        window = window.astype(corners.dtype)
+    return jnp.concatenate([corners, window], axis=-1)
+
+
+def sample_render_table(table: Array, Cf: int, Hs: int, Ws: int,
+                        hf: int, wf: int, uv: Array):
+    """ONE row gather per (sample, view) from a pack_render_table.
+
+    Args: uv [V, N, 2] FULL-RES pixel coords (align-corners convention,
+      same as bilinear_sample / the reference's grid_sample).
+    Returns:
+      fused [V, N, Cf] — bilinear featmap sample (table dtype; f32 weights),
+      cand_x/cand_y/cand_z [V, N, 25] f32 candidate coordinates per axis
+        (kept as separate planes: distances are computed per-component so
+        no [V, N, 25, 3] relayout ever materializes),
+      cand_valid [V, N, 25] bool (zero-padding ring and masked cells False),
+      cand_idx [V, N, 25] int32 flat indices into the ORIGINAL [V*hf*wf]
+        point array (clipped at borders; invalid entries carry False mask).
+    """
+    V, N = uv.shape[0], uv.shape[1]
+    p = RENDER_WINDOW_PAD
+    hp, wp = hf + 2 * p, wf + 2 * p
+    scale_x = (wf - 1.0) / (Ws - 1.0)
+    scale_y = (hf - 1.0) / (Hs - 1.0)
+    u = jnp.clip(uv[..., 0], 0.0, Ws - 1)
+    v = jnp.clip(uv[..., 1], 0.0, Hs - 1)
+    uf = u * scale_x
+    vf = v * scale_y
+    u0 = jnp.clip(jnp.floor(uf), 0, wf - 2).astype(jnp.int32)
+    v0 = jnp.clip(jnp.floor(vf), 0, hf - 2).astype(jnp.int32)
+
+    base_p = (jnp.arange(V, dtype=jnp.int32) * (hp * wp))[:, None]
+    row = (base_p + (v0 + p) * wp + (u0 + p)).reshape(-1)
+    g = jnp.take(table, row, axis=0)                    # [V*N, CH]
+
+    # --- bilinear featmap corners (f32 sub-pixel weights; see
+    # packed_bilinear_sample_views for why they must not be bf16)
+    du = (uf - u0).reshape(-1, 1).astype(jnp.float32)
+    dv = (vf - v0).reshape(-1, 1).astype(jnp.float32)
+    c = g[:, :4 * Cf]
+    top = c[:, :Cf] * (1 - du) + c[:, Cf:2 * Cf] * du
+    bot = c[:, 2 * Cf:3 * Cf] * (1 - du) + c[:, 3 * Cf:] * du
+    fused = (top * (1 - dv) + bot * dv).astype(table.dtype).reshape(V, N, Cf)
+
+    # --- KNN candidate window: contiguous 25-col channel planes
+    def plane(k):
+        s = 4 * Cf + k * _NW
+        return g[:, s:s + _NW].astype(jnp.float32).reshape(V, N, _NW)
+
+    cand_x = plane(0) + plane(3) + plane(6)   # hi + mid + lo per axis
+    cand_y = plane(1) + plane(4) + plane(7)
+    cand_z = plane(2) + plane(5) + plane(8)
+    cand_valid = plane(9) > 0.5
+    dxs = jnp.asarray([o[0] for o in RENDER_WINDOW], jnp.int32)
+    dys = jnp.asarray([o[1] for o in RENDER_WINDOW], jnp.int32)
+    base_o = (jnp.arange(V, dtype=jnp.int32) * (hf * wf))[:, None, None]
+    cy = jnp.clip(v0[:, :, None] + dys, 0, hf - 1)
+    cx = jnp.clip(u0[:, :, None] + dxs, 0, wf - 1)
+    cand_idx = base_o + cy * wf + cx                    # [V, N, 25]
+
+    return fused, cand_x, cand_y, cand_z, cand_valid, cand_idx
+
+
 def bilinear_sample_views(feats: Array, uv: Array, *, padding_mode: str = "border") -> Array:
     """vmap of bilinear_sample over a leading view axis.
 

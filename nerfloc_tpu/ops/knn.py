@@ -55,21 +55,17 @@ def knn(queries: Array, points: Array, K: int,
       queries: [N, D]; points: [M, D] (padded entries allowed).
       points_mask: optional [M] bool; False entries are excluded.
       tile: reference-cloud tile size processed per step.
-      method: 'approx' (TPU PartialReduce, default), 'exact' (streamed
-        top_k scan), or 'pallas' (exact VMEM-resident kernel,
-        ops/knn_pallas.py — 265ms vs the scan's 437ms at 262k x 24k;
-        requires the cloud to fit VMEM).
+      method: 'approx' (TPU PartialReduce, default) or 'exact' (streamed
+        top_k scan). A VMEM-resident exact Pallas kernel existed through
+        round 2 (265ms vs the scan's 437ms at 262k x 24k, but 10x slower
+        than approx_min_k) and was removed; post-mortem in BASELINE.md,
+        exemplar Pallas pattern kept in ops/fused_agg.py.
 
     Returns:
       (dists [N, K] squared L2 sorted ascending, idx [N, K] int32) —
       pytorch3d `knn_points(..., return_sorted=True)` semantics
       (reference knn_utils.py:97-173).
     """
-    if method == "pallas":
-        from .knn_pallas import knn_pallas
-
-        return knn_pallas(queries, points, points_mask, K)
-
     N, D = queries.shape
     M = points.shape[0]
     if points_mask is None:
@@ -324,23 +320,30 @@ def _split_bf16x3_bwd(_, cts):
 split_bf16x3.defvjp(_split_bf16x3_fwd, _split_bf16x3_bwd)
 
 
+def xyz_window_channels(xyz_maps: Array, mask_maps: Array) -> Array:
+    """[V, h, w, 3] f32 point maps + [V, h, w] validity -> [V, h, w, 10]:
+    xyz split into three bf16 components (split_bf16x3 — reconstructed by
+    an f32 sum to ~24 mantissa bits) plus the validity bit. The per-cell
+    channel layout of both pack_xyz_window and the merged render table
+    (ops/interp.pack_render_table)."""
+    hi, mid, lo = split_bf16x3(xyz_maps)
+    return jnp.concatenate([hi, mid, lo,
+                            mask_maps[..., None].astype(jnp.bfloat16)],
+                           axis=-1)
+
+
 def pack_xyz_window(xyz_maps: Array, mask_maps: Array, win: int = 3) -> Array:
     """Build the knn_proj candidate table: [V, h, w, 3] f32 point maps +
     [V, h, w] validity -> flat packed [V*h*w, win^2*10] bf16 window table.
 
-    Each offset contributes 10 channels: the point xyz split into three
-    bf16 components (split_bf16x3 — reconstructed by an f32 sum to ~24
-    mantissa bits) plus the validity bit. win=3 covers the at-surface
-    8-NN at 0.97 recall; win=5 reaches 1.00 at-surface and 0.45 in the
-    6-30cm band at ~2.8x the table width (tools/knn_recall_study.py).
+    win=3 covers the at-surface 8-NN at 0.97 recall; win=5 reaches 1.00
+    at-surface and 0.45 in the 6-30cm band at ~2.8x the table width
+    (tools/knn_recall_study.py).
     """
     from .interp import pack_window
 
-    hi, mid, lo = split_bf16x3(xyz_maps)
-    ch = jnp.concatenate([hi, mid, lo,
-                          mask_maps[..., None].astype(jnp.bfloat16)],
-                         axis=-1)                       # [V, h, w, 10]
-    return pack_window(ch, _proj_window(win))
+    return pack_window(xyz_window_channels(xyz_maps, mask_maps),
+                       _proj_window(win))
 
 
 def knn_proj(xyz: Array, uv_fm: Array, front: Array, packed: Array,
@@ -385,17 +388,57 @@ def knn_proj(xyz: Array, uv_fm: Array, front: Array, packed: Array,
                 + g[..., 6:9].astype(jnp.float32))      # [V, N, O, 3]
     valid = (g[..., 9] > 0.5) & front[:, :, None]
 
-    d2 = jnp.sum((xyz[None, :, None, :] - cand_xyz) ** 2, axis=-1)
-    BIG = jnp.finfo(jnp.float32).max / 4
-    d2 = jnp.where(valid, d2, BIG)
-
     dxs = jnp.asarray([o[0] for o in offs], jnp.int32)
     dys = jnp.asarray([o[1] for o in offs], jnp.int32)
     idx = (base[:, :, None] + (v0[:, :, None] + dys) * w
            + (u0[:, :, None] + dxs))                    # [V, N, O]
+    return knn_from_candidates(xyz, cand_xyz, valid, idx, K)
 
+
+def knn_from_candidates(xyz: Array, cand_xyz: Array, cand_valid: Array,
+                        cand_idx: Array, K: int) -> Array:
+    """Exact f32 re-rank of per-view candidate sets to top-K neighbors.
+
+    Args: xyz [N, 3] f32 sample points; cand_xyz [V, N, O, 3] f32
+      candidate points; cand_valid [V, N, O] bool; cand_idx [V, N, O]
+      int32 flat indices into the support point array.
+    Returns: idx [N, K] int32, ascending by distance. Shared tail of
+    knn_proj and the merged render-table path
+    (ops/interp.sample_render_table): a key-value sort over the
+    lane-resident candidate axis beats lax.top_k on TPU (4ms vs 83ms at
+    [4096*64, 128] — top_k lowers to a full variadic sort with worse
+    layout).
+    """
+    V, N, O = cand_idx.shape
+    d2 = jnp.sum((xyz[None, :, None, :] - cand_xyz) ** 2, axis=-1)
+    BIG = jnp.finfo(jnp.float32).max / 4
+    d2 = jnp.where(cand_valid, d2, BIG)
     d2f = jnp.moveaxis(d2, 0, 1).reshape(N, V * O)
-    idxf = jnp.moveaxis(idx, 0, 1).reshape(N, V * O)
+    idxf = jnp.moveaxis(cand_idx, 0, 1).reshape(N, V * O)
+    _, si = jax.lax.sort([d2f, idxf], num_keys=1, dimension=1)
+    return si[:, :K]
+
+
+def knn_from_candidate_planes(xyz: Array, cand_x: Array, cand_y: Array,
+                              cand_z: Array, cand_valid: Array,
+                              cand_idx: Array, K: int) -> Array:
+    """knn_from_candidates on per-axis coordinate planes.
+
+    Tail of the merged render-table path (ops/interp.sample_render_table):
+    candidate coordinates arrive as three [V, N, O] planes (contiguous
+    channel-major table slices) so the squared distance is computed
+    per-component and no [V, N, O, 3] relayout materializes — stride-10
+    lane slicing of the offset-major layout measured ~2x the gather's own
+    cost on v5e. Args/returns otherwise as knn_from_candidates.
+    """
+    V, N, O = cand_idx.shape
+    d2 = ((xyz[None, :, None, 0] - cand_x) ** 2
+          + (xyz[None, :, None, 1] - cand_y) ** 2
+          + (xyz[None, :, None, 2] - cand_z) ** 2)
+    BIG = jnp.finfo(jnp.float32).max / 4
+    d2 = jnp.where(cand_valid, d2, BIG)
+    d2f = jnp.moveaxis(d2, 0, 1).reshape(N, V * O)
+    idxf = jnp.moveaxis(cand_idx, 0, 1).reshape(N, V * O)
     _, si = jax.lax.sort([d2f, idxf], num_keys=1, dimension=1)
     return si[:, :K]
 

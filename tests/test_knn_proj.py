@@ -35,6 +35,16 @@ def box_ctx():
     return cfg, model, params, batch, ctx
 
 
+def _window_table(ctx, hf, wf, win=3):
+    """ctx.render_table (merged, the default) supersedes xyz_window_packed;
+    these op-level tests build the standalone knn_proj table themselves."""
+    from nerfloc_tpu.ops.knn import pack_xyz_window
+
+    V = ctx.sv.images.shape[0]
+    return pack_xyz_window(ctx.fine.xyz.reshape(V, hf, wf, 3),
+                           ctx.fine.mask.reshape(V, hf, wf), win=win)
+
+
 def test_knn_proj_recall_near_surface(box_ctx):
     from nerfloc_tpu.ops.knn import knn_proj
     from nerfloc_tpu.models.fields.projector import compute_projections
@@ -45,6 +55,7 @@ def test_knn_proj_recall_near_surface(box_ctx):
     H, W = batch["image"].shape[:2]
     hf, wf = ctx.feat_fine_src.shape[1:3]
     stride = H // hf
+    window3 = _window_table(ctx, hf, wf, 3)
 
     # samples around the surface: perturb valid points
     rng = np.random.default_rng(3)
@@ -55,7 +66,7 @@ def test_knn_proj_recall_near_surface(box_ctx):
                                    ctx.sv.poses, H, W)
         idx = np.asarray(knn_proj(jnp.asarray(samples),
                                   proj.uv / float(stride), proj.in_front,
-                                  ctx.xyz_window_packed, hf, wf, K=8))
+                                  window3, hf, wf, K=8))
         ptsm = pts.copy()
         ptsm[~mask] = 1e9
         d = ((samples[:, None, :] - ptsm[None]) ** 2).sum(-1)
@@ -110,7 +121,7 @@ def test_knn_proj_window5_recall_not_worse(box_ctx):
     exact = np.argsort(d, axis=1)[:, :8]
 
     recs = {}
-    for win, packed in ((3, ctx.xyz_window_packed), (5, packed5)):
+    for win, packed in ((3, _window_table(ctx, hf, wf, 3)), (5, packed5)):
         idx = np.asarray(knn_proj(jnp.asarray(samples),
                                   proj.uv / float(stride), proj.in_front,
                                   packed, hf, wf, K=8, win=win))

@@ -28,7 +28,11 @@ from nerfloc_tpu.ops.knn import knn_proj, knn_rays
 def main(R: int = 128, S: int = 64):
     cfg = Config(backbone2d_fpn_dim=192, model_3d_hidden_dim=128,
                  matcher_hidden_dim=192,
-                 render=RenderConfig(N_samples=S, N_rand=1024),
+                 # separate tables: this study probes the standalone
+                 # knn_proj op (the merged render table has its own
+                 # coverage tests, tests/test_render_table.py)
+                 render=RenderConfig(N_samples=S, N_rand=1024,
+                                     use_merged_table=False),
                  matching=MatchingConfig(fine_num_3d_keypoints=1024))
     model = NerfPoseEstimator(cfg, dtype=compute_dtype_of(cfg))
     H, W, V = 240, 320, 5

@@ -45,15 +45,17 @@ def main():
     from nerfloc_tpu.models.pose_estimator import NerfPoseEstimator
 
     fused = "--fused" in sys.argv
+    separate = "--separate" in sys.argv  # pre-merged-table gather layout
     cfg = Config(
         backbone2d_fpn_dim=192,
         model_3d_hidden_dim=128,
         matcher_hidden_dim=192,
         render=RenderConfig(N_samples=64, N_rand=1024, chunk=2048,
-                            fused_query_agg=fused),
+                            fused_query_agg=fused,
+                            use_merged_table=not separate),
         matching=MatchingConfig(fine_num_3d_keypoints=1024),
     )
-    print(f"fused_query_agg={fused}")
+    print(f"fused_query_agg={fused} use_merged_table={not separate}")
     model = NerfPoseEstimator(cfg, dtype=compute_dtype_of(cfg))
     H, W, V = 240, 320, 5
     batch = {k: jnp.asarray(v) for k, v in
@@ -105,12 +107,23 @@ def main():
                        n_candidates=cfg.render.knn_candidates)
         return jnp.sum(idx)
 
-    from nerfloc_tpu.ops.knn import knn_proj
+    from nerfloc_tpu.ops.interp import sample_render_table
+    from nerfloc_tpu.ops.knn import knn_from_candidate_planes, knn_proj
 
     @jax.jit
     def f_knn_proj(ctx, xyz_flat):
         proj = compute_projections(xyz_flat, ctx.sv.Ks, ctx.sv.poses, H, W)
         hf, wf = ctx.feat_fine_src.shape[1:3]
+        if ctx.render_table is not None:
+            # merged path: ONE gather yields fused features + candidates;
+            # this stage therefore subsumes the agg's fused sampling too
+            Cf = ctx.feat_fine_src.shape[-1] + ctx.sv.vis_featmaps.shape[-1]
+            fs, cx, cy, cz, cval, cidx = sample_render_table(
+                ctx.render_table, Cf, H, W, hf, wf, proj.uv)
+            idx = knn_from_candidate_planes(
+                xyz_flat, cx, cy, cz,
+                cval & proj.in_front[:, :, None], cidx, 8)
+            return jnp.sum(idx) + jnp.sum(fs)
         idx = knn_proj(xyz_flat, proj.uv / float(H // hf), proj.in_front,
                        ctx.xyz_window_packed, hf, wf, K=8)
         return jnp.sum(idx)
@@ -124,7 +137,8 @@ def main():
             return m.model_3d.multiview_aggregator(
                 ctx.sv, ctx.feat_fine_src, xyz_flat, proj=proj,
                 fused_packed=ctx.fused_fine_packed,
-                rgb_packed=ctx.rgb_packed)
+                rgb_packed=ctx.rgb_packed,
+                render_table=ctx.render_table)
         out, rgb_feat, vis = model.apply(params, method=f)
         return jnp.sum(out) + jnp.sum(rgb_feat) + jnp.sum(vis)
 
