@@ -131,6 +131,78 @@ class LMDBReader:
                             cv2.COLOR_BGR2RGB)
 
 
+class LMDBWriter:
+    """LMDB image-store writer (reference reader.py:96-170: delete-and-
+    recreate the database, buffered transactions committed every
+    `commit_every` puts, string/ndarray payloads). Same gating as
+    LMDBReader — the `lmdb` package is not in the base image.
+
+    Unlike the reference's 1 TB fixed map_size, the map grows on demand
+    (MapFullError -> double map_size and retry) so packs work on small
+    filesystems too.
+    """
+
+    def __init__(self, path: str, map_size: int = 1 << 30,
+                 commit_every: int = 10000):
+        try:
+            import lmdb
+        except ImportError as e:  # pragma: no cover
+            raise ImportError(
+                "packing scenes to LMDB needs the 'lmdb' package (not in "
+                "this image)") from e
+        import shutil
+
+        if os.path.exists(path):
+            shutil.rmtree(path)
+        os.makedirs(path)
+        self._lmdb = lmdb
+        self._env = lmdb.Environment(path, map_size=map_size)
+        self._txn = self._env.begin(write=True)
+        self._count = 0
+        self._commit_every = commit_every
+
+    def _put(self, key: str, value: bytes) -> None:
+        for _ in range(32):  # grow map until the put fits
+            try:
+                self._txn.put(key.encode("utf-8"), value)
+                break
+            except self._lmdb.MapFullError:
+                self._txn.abort()
+                self._env.set_mapsize(self._env.info()["map_size"] * 2)
+                self._txn = self._env.begin(write=True)
+        self._count += 1
+        if self._count % self._commit_every == 0:
+            self._txn.commit()
+            self._txn = self._env.begin(write=True)
+
+    def write_str(self, key: str, value: bytes) -> None:
+        self._put(key, value)
+
+    def write_array(self, key: str, array: np.ndarray) -> None:
+        self._put(key, np.ascontiguousarray(array).tobytes())
+
+    def write_image(self, key: str, rgb: np.ndarray, ext: str = ".jpg") -> None:
+        """Encode an RGB uint8 image (LMDBReader.get_image decodes)."""
+        import cv2
+
+        ok, buf = cv2.imencode(ext, cv2.cvtColor(rgb, cv2.COLOR_RGB2BGR))
+        if not ok:
+            raise ValueError(f"cv2.imencode failed for {key}")
+        self._put(key, buf.tobytes())
+
+    def close(self) -> None:
+        if self._env is not None:
+            self._txn.commit()
+            self._env.close()
+            self._env = None
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        self.close()
+
+
 def load_frame(base_dir: str, meta: Dict) -> Tuple[np.ndarray, np.ndarray,
                                                    np.ndarray, np.ndarray]:
     """(rgb uint8, depth m float32 at rgb res, Tcw [3,4], K [3,3]).

@@ -101,7 +101,7 @@ def test_gem_descriptor_shapes():
 
     from nerfloc_tpu.retrieval.gem import GeMDescriptor
 
-    m = GeMDescriptor(out_dim=64)
+    m = GeMDescriptor(out_dim=64, blocks=(1, 1, 1, 1))
     x = jnp.linspace(0, 1, 2 * 64 * 64 * 3).reshape(2, 64, 64, 3)
     params = jax.jit(m.init)(jax.random.PRNGKey(0), x)
     out = m.apply(params, x)
