@@ -48,16 +48,20 @@ class RenderConfig:
     # nothing (+0.03 dB) — so the default stays at the narrower table.
     knn_proj_window: int = 3
     # merged render-gather table (ops/interp.pack_render_table): ONE row
-    # gather per (sample, view) fetches bilinear featmap corners, the
+    # gather per (sample, view) fetches bilinear featmap corners plus a
     # 5x5 KNN candidate window ([-1..+3] around the bilinear floor cell —
     # a strict superset of knn_proj(win=3)'s round-anchored 3x3; see
-    # ops/interp.RENDER_WINDOW). TPU gathers are row-latency-bound, so
-    # merging the two featmap-resolution [V*N]-row gathers of the proj
-    # render into one halves the gather segment; full-res rgb keeps its
-    # own 12-column table (see pack_render_table for why).
-    # Auto-falls-back to the separate tables when the fine featmap and
-    # vis featmap resolutions differ, or when knn_mode != 'proj'.
-    use_merged_table: bool = True
+    # ops/interp.RENDER_WINDOW); full-res rgb keeps its own 12-column
+    # table. OFF by default: on v5e the single wide gather LOSES to the
+    # two separate gathers at bench shapes (dense-64 35.9k vs 47.1k
+    # rays/s) — the hot gathers are bandwidth- not dispatch-bound, so
+    # merging saves nothing while the 25-slot window nearly triples the
+    # candidate payload and the re-rank sort lanes (V*25 vs V*9). See
+    # BASELINE.md "Merged render-table post-mortem". The path stays
+    # correct and equivalence-tested (tests/test_render_table.py) and
+    # auto-falls-back to separate tables when the fine/vis featmap
+    # resolutions differ or knn_mode != 'proj'.
+    use_merged_table: bool = False
     knn_candidates: int = 128
     # neighbor geometry/feature assembly in the render hot loop: 'gather'
     # does one [R*S*K]-row packed gather; 'onehot' selects neighbors from
