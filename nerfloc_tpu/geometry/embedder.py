@@ -49,10 +49,21 @@ class Embedder:
         self.out_dim = input_dims * ((1 if include_input else 0) + 2 * len(self.freqs))
 
     def __call__(self, x: Array) -> Array:
+        # Band-vectorized: ONE wide sin and ONE wide cos over [..., F*D]
+        # instead of 2F lane-padded [..., D] ops (D=3 wastes 125/128 VPU
+        # lanes per op on TPU). The [..., 2, F, D] -> [..., F, 2, D]
+        # transpose is a cheap trailing-dim shuffle that restores the
+        # reference interleaved ordering [sin(f0 x), cos(f0 x),
+        # sin(f1 x), ...] bit-exactly (utils.py:26-35).
+        D = x.shape[-1]
+        F = len(self.freqs)
+        f = jnp.asarray(self.freqs, dtype=x.dtype)
+        xb = (x[..., None, :] * f[:, None]).reshape(x.shape[:-1] + (F * D,))
+        sc = jnp.stack([jnp.sin(xb), jnp.cos(xb)], axis=-2)   # [..., 2, F*D]
+        sc = sc.reshape(x.shape[:-1] + (2, F, D))
+        sc = jnp.swapaxes(sc, -3, -2).reshape(x.shape[:-1] + (2 * F * D,))
         parts = [x] if self.include_input else []
-        for f in self.freqs:
-            parts.append(jnp.sin(x * f))
-            parts.append(jnp.cos(x * f))
+        parts.append(sc)
         return jnp.concatenate(parts, axis=-1)
 
 

@@ -168,8 +168,14 @@ class MultiviewFeatureAggregator(nn.Module):
             vis, depth_diff = self.predict_visibility(sv, xyz)
 
         rgb_feat = jnp.concatenate([rgb, feat], axis=-1)  # [N, V, 3+C]
-        vis = vis.T[..., None]           # [N, V, 1]
-        depth_diff = depth_diff.T[..., None]
+        # the visibility decode runs in f32 (projected depths are f32, only
+        # [.., 2]-channel math); cast it down to the compute dtype HERE so
+        # the wide [N, V, 3+C] mean/var passes below don't get promoted to
+        # f32 — that promotion doubles this block's HBM traffic, the render
+        # path's second-largest segment (f32 configs are unaffected: the
+        # astype is a no-op there)
+        vis = vis.T[..., None].astype(rgb_feat.dtype)      # [N, V, 1]
+        depth_diff = depth_diff.T[..., None].astype(rgb_feat.dtype)
 
         weight = vis / (jnp.sum(vis, axis=1, keepdims=True) + 1e-8)
         rf_mean, rf_var = fused_mean_variance(rgb_feat, weight)

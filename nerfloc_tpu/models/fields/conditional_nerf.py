@@ -580,12 +580,41 @@ class ConditionalNeRF(nn.Module):
         V = mv_feat.shape[1]
         rgb_in = mv_feat[:, :, :3]
         ray_diff = compute_angle(xyz_flat, pose, ctx.sv.poses).transpose(1, 0, 2)
-        x_rgb = jnp.concatenate([
-            jnp.broadcast_to(feature_agg[:, None, :], (feature_agg.shape[0], V,
-                                                       feature_agg.shape[1])),
-            mv_feat, mv_vis, ray_diff,
-        ], axis=-1)
-        bw = self.rgb_blending_mlp(x_rgb)
+        if self.is_initializing():
+            x_rgb = jnp.concatenate([
+                jnp.broadcast_to(feature_agg[:, None, :],
+                                 (feature_agg.shape[0], V,
+                                  feature_agg.shape[1])),
+                mv_feat, mv_vis, ray_diff,
+            ], axis=-1)
+            bw = self.rgb_blending_mlp(x_rgb)
+        else:
+            # The blending MLP's first layer over concat([feature_agg x V,
+            # mv_feat, mv_vis, ray_diff]) is evaluated as per-part matmuls
+            # summed into the 32-wide hidden: the [N*V, 360] concat (with a
+            # V-fold broadcast copy of feature_agg) is never materialized —
+            # ~2 GB of HBM round-trip at render shapes — and the
+            # feature_agg partial is computed once per point, not per view.
+            # Kernel row slices match the concat order, so numerics and the
+            # param tree (checkpoints, goldens) are unchanged.
+            p = self.variables["params"]["rgb_blending_mlp"]
+            dt = self.dtype
+            k0 = p["fc0"]["kernel"].astype(dt)
+            Wc = feature_agg.shape[-1]
+            Cf = mv_feat.shape[-1]
+            k_fa, k_mv, k_vis, k_rd = jnp.split(
+                k0, [Wc, Wc + Cf, Wc + Cf + 1], axis=0)
+            h = (feature_agg.astype(dt) @ k_fa
+                 + p["fc0"]["bias"].astype(dt))[:, None, :]
+            h = h + mv_feat.astype(dt) @ k_mv
+            h = h + mv_vis.astype(dt) * k_vis[0]
+            h = h + ray_diff.astype(dt) @ k_rd
+            h = nn.leaky_relu(h, 0.01)
+            h = nn.leaky_relu(
+                h @ p["fc1"]["kernel"].astype(dt)
+                + p["fc1"]["bias"].astype(dt), 0.01)
+            bw = (h @ p["fc2"]["kernel"].astype(dt)
+                  + p["fc2"]["bias"].astype(dt))
         bw = jnp.where(mv_vis == 0, -1e9, bw)
         bw = jax.nn.softmax(bw, axis=1)
         rgb = jnp.sum(rgb_in * bw, axis=1)  # [RN, 3]
