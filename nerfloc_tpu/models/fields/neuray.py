@@ -130,6 +130,56 @@ class ConvIN(nn.Module):
         return nn.elu(x)
 
 
+def _ac_resize_matrix(n_in: int, n_out: int) -> "np.ndarray":
+    """[n_out, n_in] bilinear weights for align_corners=True 1-D resize
+    (torch F.interpolate(mode='bilinear', align_corners=True) semantics:
+    output o samples input at o*(n_in-1)/(n_out-1))."""
+    import numpy as np
+
+    W = np.zeros((n_out, n_in), np.float32)
+    if n_in == 1 or n_out == 1:
+        W[:, 0] = 1.0
+        return W
+    pos = np.arange(n_out) * (n_in - 1) / (n_out - 1)
+    i0 = np.clip(np.floor(pos).astype(np.int64), 0, n_in - 2)
+    frac = (pos - i0).astype(np.float32)
+    W[np.arange(n_out), i0] = 1.0 - frac
+    W[np.arange(n_out), i0 + 1] = frac
+    return W
+
+
+def upsample2x_align_corners(x: Array) -> Array:
+    """Exact torch `interpolate(scale_factor=2, mode='bilinear',
+    align_corners=True)` on NHWC, as two separable matmuls (the weight
+    matrices are trace-time constants, so this rides the MXU instead of a
+    gather; reference upconv, neuray_ops.py:142-151)."""
+    _, H, W_, _ = x.shape
+    mh = jnp.asarray(_ac_resize_matrix(H, 2 * H), x.dtype)
+    mw = jnp.asarray(_ac_resize_matrix(W_, 2 * W_), x.dtype)
+    x = jnp.einsum("oh,bhwc->bowc", mh, x)
+    return jnp.einsum("ow,bhwc->bhoc", mw, x)
+
+
+def _pad_or_crop_hw(x: Array, th: int, tw: int) -> Array:
+    """Zero-pad (centered, extra on the high side) or crop H/W to (th, tw) —
+    torch F.pad(x, (dX//2, dX-dX//2, dY//2, dY-dY//2)) with negative pads
+    cropping (reference skipconnect, neuray_ops.py:209-221)."""
+    dh, dw = th - x.shape[1], tw - x.shape[2]
+    if dh == 0 and dw == 0:
+        return x
+    # per-axis (lo, hi) with Python floor division, exactly like torch: a
+    # negative lo/hi crops that side (F.pad semantics for negative pads)
+    lo_h, hi_h = dh // 2, dh - dh // 2
+    lo_w, hi_w = dw // 2, dw - dw // 2
+    x = x[:, max(0, -lo_h):x.shape[1] - max(0, -hi_h),
+          max(0, -lo_w):x.shape[2] - max(0, -hi_w)]
+    pads = ((0, 0), (max(0, lo_h), max(0, hi_h)),
+            (max(0, lo_w), max(0, hi_w)), (0, 0))
+    if any(p != (0, 0) for p in pads):
+        x = jnp.pad(x, pads)
+    return x
+
+
 class ResEncoder(nn.Module):
     """12-channel input -> 32-channel ray feats at 1/4 res (neuray_ops.py:152-239)."""
     dtype: Any = jnp.float32
@@ -156,15 +206,19 @@ class ResEncoder(nn.Module):
         x2 = layer(x1, 64, 2, 2, "layer2")
         x3 = layer(x2, 128, 2, 2, "layer3")
 
-        def upconv(x, feats, name, target):
-            th, tw = target.shape[1], target.shape[2]
-            x = jax.image.resize(x, (x.shape[0], th, tw, x.shape[-1]), method="bilinear")
-            return ConvIN(feats, 3, dtype=self.dtype, name=name)(x)
+        # decoder, reference order (neuray_ops.py:142-151, 209-239): 2x
+        # align_corners=True bilinear upsample -> conv+IN+ELU; then
+        # skipconnect(x2, x) at neuray_ops.py:230-236 pads the SKIP to the
+        # upsampled tensor's size and concats [upsampled, skip] — note the
+        # swapped roles: its x1 arg is the skip, its x2 is the upsample.
+        def up_block(x, skip, feats, upname):
+            x = upsample2x_align_corners(x)
+            x = ConvIN(feats, 3, dtype=self.dtype, name=upname)(x)
+            skip = _pad_or_crop_hw(skip, x.shape[1], x.shape[2])
+            return jnp.concatenate([x, skip], axis=-1)
 
-        u3 = upconv(x3, 64, "upconv3", x2)
-        u3 = ConvIN(64, 3, dtype=self.dtype, name="iconv3")(jnp.concatenate([x2, u3], -1))
-        u2 = upconv(u3, 32, "upconv2", x1)
-        u2 = ConvIN(32, 3, dtype=self.dtype, name="iconv2")(jnp.concatenate([x1, u2], -1))
+        u3 = ConvIN(64, 3, dtype=self.dtype, name="iconv3")(up_block(x3, x2, 64, "upconv3"))
+        u2 = ConvIN(32, 3, dtype=self.dtype, name="iconv2")(up_block(u3, x1, 32, "upconv2"))
         return nn.Conv(32, (1, 1), dtype=self.dtype, name="out_conv")(u2)
 
 
