@@ -21,6 +21,15 @@ class RenderConfig:
     # reference: configs/__init__.py:54-62
     N_samples: int = 64
     N_importance: int = 0
+    # depth count of the NeuRay guide pass that drives N_importance
+    # resampling. The reference hardcodes 64 (conditional_nerf/model.py:
+    # 489); configurable here because the guide pass is a large share of
+    # the guided-16+16 render (a [V*R*N_guide]-row vis-table gather +
+    # mixture-logistics decode), so production configs can trade guide
+    # resolution for throughput (tools/guided_sampling_check.py measures
+    # the PSNR cost; tools/profile_int8_tables.py is the throughput A/B
+    # pattern).
+    N_guide: int = 64
     N_rand: int = 1024
     chunk: int = 2048
     lindisp: bool = False
@@ -71,6 +80,16 @@ class RenderConfig:
     # R=4096 tiny batches and measured ~8ms SLOWER in the full render on
     # v5e (109.6 vs 101.8ms), even though isolated gather rows cost more.
     geo_assembly: str = "gather"
+    # dtype of the packed render gather tables (fused fine corners + the
+    # guided pass's vis corners): 'bf16' (compute dtype) or 'int8'
+    # (symmetric per-channel quantization, ops/interp.QuantTable) — halves
+    # the bytes of the render loop's HBM-bound table gathers at ~0.4%
+    # per-channel feature error. Default bf16: int8 MEASURES SLOWER on
+    # v5e (dense-64 47.3k vs 50.8k rays/s) because TPU row gathers move
+    # sub-word elements at ~35% lower per-byte rate — see BASELINE.md
+    # "int8 render-table post-mortem". rgb / xyz candidate tables are
+    # unaffected (rgb is 12 cols and latency-bound; KNN geometry exact).
+    table_dtype: str = "bf16"
     # fused Pallas neighbor-aggregation kernel for query()'s embed ->
     # base_mlp -> attention segment (ops/fused_agg.py); backward replays
     # the pure-JAX path via custom_vjp. Default OFF: the per-neighbor

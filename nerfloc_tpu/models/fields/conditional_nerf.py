@@ -28,7 +28,8 @@ from ...geometry.cameras import get_rays, scale_intrinsics, world_to_camera
 from ...geometry.embedder import Embedder
 from ...geometry.math import safe_normalize, safe_sqrt
 from ...ops.interp import (pack_bilinear_corners, pack_render_table,
-                           packed_bilinear_sample_views, resize_nearest,
+                           packed_bilinear_sample_views,
+                           quantize_pack_bilinear_corners, resize_nearest,
                            sample_render_table)
 from ...ops.knn import (knn, knn_from_candidate_planes, knn_gather, knn_proj,
                         knn_rays, pack_xyz_window, split_bf16x3,
@@ -222,6 +223,9 @@ class ConditionalNeRF(nn.Module):
                 xyz10 = xyz_window_channels(fine.xyz.reshape(V, hf, wf, 3),
                                             fine.mask.reshape(V, hf, wf))
                 render_table = pack_render_table(fused, xyz10)
+            elif self.cfg.render.table_dtype == "int8":
+                fused_fine_packed = quantize_pack_bilinear_corners(
+                    fused, out_dtype=self.dtype)
             else:
                 fused_fine_packed = pack_bilinear_corners(fused)
         if not use_merged:
@@ -233,8 +237,12 @@ class ConditionalNeRF(nn.Module):
         # vis-only corner table for the guided coarse pass (tiny: 32ch)
         vis_corner_packed = None
         if self.cfg.render.N_importance > 0:
-            vis_corner_packed = pack_bilinear_corners(
-                vis_featmaps.astype(self.dtype))
+            if self.cfg.render.table_dtype == "int8":
+                vis_corner_packed = quantize_pack_bilinear_corners(
+                    vis_featmaps, out_dtype=self.dtype)
+            else:
+                vis_corner_packed = pack_bilinear_corners(
+                    vis_featmaps.astype(self.dtype))
 
         return SceneContext(sv=sv, coarse=coarse, fine=fine,
                             feat_coarse_src=feat_coarse_src,
@@ -488,8 +496,11 @@ class ConditionalNeRF(nn.Module):
 
         depth_coarse = None
         if cfg.render.N_importance > 0:
+            # guide pass at N_guide depths (reference hardcodes 64,
+            # model.py:489; see RenderConfig.N_guide)
+            ng = cfg.render.N_guide
             z_coarse = jnp.broadcast_to(
-                self.sample_depths(64, near, far, rays_o.dtype), (R, 64))
+                self.sample_depths(ng, near, far, rays_o.dtype), (R, ng))
             que_pts = rays_o[:, None, :] + rays_d[:, None, :] * z_coarse[..., None]
             que_dists = depth2inv_dists(z_coarse, near, far)
             w_coarse = self.multiview_aggregator.predict_alpha_weights(

@@ -8,7 +8,7 @@ through every query/render call, so jit sees pure functions of (params, ctx).
 """
 from __future__ import annotations
 
-from typing import Optional
+from typing import Any, Optional
 
 import jax
 from flax import struct
@@ -46,13 +46,16 @@ class SceneContext:
     embedding_a: Optional[Array] = None  # appearance embedding of the query
     # flat packed 4-corner gather tables (ops/interp.pack_bilinear_corners),
     # built once per query so every render chunk samples all support views
-    # with one row gather (6x faster than the vmapped per-view gather)
-    fused_fine_packed: Optional[Array] = None  # [V*Hf*Wf, 4*(C+32)]
+    # with one row gather (6x faster than the vmapped per-view gather).
+    # With render.table_dtype='int8' this holds an ops/interp.QuantTable
+    # (int8 rows + per-channel scale) instead of a plain array.
+    fused_fine_packed: Optional[Any] = None  # [V*Hf*Wf, 4*(C+32)]
     rgb_packed: Optional[Array] = None         # [V*H*W, 12]
     # vis-featmap-only corner table for the NeuRay guided coarse pass
     # (predict_alpha_weights): its [V*R*64]-row sampling is the dominant
     # cost of hierarchical sampling and needs only the 32 ray-feat channels
-    vis_corner_packed: Optional[Array] = None  # [V*Hv*Wv, 128]
+    # (QuantTable under render.table_dtype='int8', like fused_fine_packed)
+    vis_corner_packed: Optional[Any] = None  # [V*Hv*Wv, 128]
     # 3x3-window candidate table over the fine point grid for
     # projection-window render KNN (ops/knn.pack_xyz_window / knn_proj);
     # built only when the merged table below is unavailable

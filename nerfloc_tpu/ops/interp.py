@@ -11,10 +11,44 @@ move contiguous lanes).
 """
 from __future__ import annotations
 
+from typing import Any
+
 import jax
 import jax.numpy as jnp
+from flax import struct
 
 Array = jax.Array
+
+
+@struct.dataclass
+class QuantTable:
+    """int8-quantized packed gather table (render.table_dtype='int8').
+
+    The render hot loop's packed-table gathers are HBM-bound (BASELINE.md
+    roofline: the fused-corner gather streams V*N rows x 4C bf16 cols);
+    storing the rows as symmetric per-channel int8 halves the gathered
+    bytes. Corner blocks share the unpacked channel's scale, and bilinear
+    blending is linear per channel, so dequantization commutes with the
+    blend: gather int8 -> blend in f32 -> multiply by scale[c] once.
+    """
+    q: Array       # [rows, 4*C] int8, pack_bilinear_corners layout
+    scale: Array   # [C] f32 per-channel dequant scale (amax/127)
+    out_dtype: Any = struct.field(pytree_node=False, default=jnp.bfloat16)
+
+
+def quantize_pack_bilinear_corners(feats: Array, out_dtype=jnp.bfloat16,
+                                   eps: float = 1e-12) -> QuantTable:
+    """[V, H, W, C] -> QuantTable of the pack_bilinear_corners layout.
+
+    Symmetric per-channel quantization: scale[c] = amax_c / 127. Built once
+    per localization query (SceneContext), so the reduction over V*H*W rows
+    is amortized across every render chunk.
+    """
+    f32 = feats.astype(jnp.float32)
+    amax = jnp.max(jnp.abs(f32), axis=(0, 1, 2))
+    scale = jnp.maximum(amax, eps) / 127.0
+    q = jnp.clip(jnp.round(f32 / scale), -127, 127).astype(jnp.int8)
+    return QuantTable(pack_bilinear_corners(q), scale, out_dtype)
 
 
 def bilinear_sample(feat: Array, uv: Array, *, padding_mode: str = "border") -> Array:
@@ -137,13 +171,19 @@ def pack_window(feats: Array, offsets) -> Array:
     return packed.reshape(V * H * W, len(offsets) * feats.shape[-1])
 
 
-def packed_bilinear_sample_views(packed: Array, H: int, W: int,
+def packed_bilinear_sample_views(packed, H: int, W: int,
                                  uv: Array) -> Array:
     """Sample a pack_bilinear_corners table at [V, N, 2] pixel coords.
 
     Border-mode / align_corners=True semantics identical to
     bilinear_sample(..., padding_mode='border'). Returns [V, N, C].
+    `packed` may be a plain Array table or a QuantTable (int8 rows +
+    per-channel scale) — dequantization happens once, after the blend.
     """
+    scale = None
+    out_dtype = None
+    if isinstance(packed, QuantTable):
+        packed, scale, out_dtype = packed.q, packed.scale, packed.out_dtype
     V, N = uv.shape[0], uv.shape[1]
     C4 = packed.shape[-1]
     C = C4 // 4
@@ -159,9 +199,13 @@ def packed_bilinear_sample_views(packed: Array, H: int, W: int,
     base = (jnp.arange(V, dtype=jnp.int32) * (H * W))[:, None]
     idx = (base + v0 * W + u0).reshape(-1)
     g = jnp.take(packed, idx, axis=0)                   # [V*N, 4C]
+    if scale is not None:
+        g = g.astype(jnp.float32)
     top = g[:, :C] * (1 - du) + g[:, C:2 * C] * du
     bot = g[:, 2 * C:3 * C] * (1 - du) + g[:, 3 * C:] * du
     out = top * (1 - dv) + bot * dv
+    if scale is not None:
+        return (out * scale[None, :]).astype(out_dtype).reshape(V, N, C)
     return out.astype(packed.dtype).reshape(V, N, C)
 
 

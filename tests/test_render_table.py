@@ -206,3 +206,70 @@ def test_render_rays_close_across_table_modes(merged_vs_separate):
     err = np.abs(rgb_m - rgb_s)
     assert err.max() < 0.05, f"max rgb divergence {err.max():.4f}"
     assert err.mean() < 0.01, f"mean rgb divergence {err.mean():.4f}"
+
+
+def test_quantized_corner_table_matches_f32():
+    """int8 QuantTable sampling (render.table_dtype='int8') vs the exact
+    f32 packed-corner path: symmetric per-channel quantization bounds the
+    per-corner error by scale/2 = amax_c/254; the bilinear blend is convex,
+    so the blended error obeys the same per-channel bound (f32 out_dtype
+    isolates quantization from the output cast)."""
+    from nerfloc_tpu.ops.interp import quantize_pack_bilinear_corners
+
+    rng = np.random.default_rng(7)
+    V, H, W, C = 3, 12, 16, 24
+    # heterogeneous per-channel ranges to exercise per-channel scales
+    ch_scale = rng.uniform(0.05, 50.0, (C,)).astype(np.float32)
+    feats = (rng.standard_normal((V, H, W, C)) * ch_scale).astype(np.float32)
+    uv = jnp.asarray(
+        rng.uniform(-2.0, 2.0, (V, 300, 2)) * np.array([W, H]) -
+        np.array([1.0, 1.0]), jnp.float32)
+
+    qt = quantize_pack_bilinear_corners(jnp.asarray(feats),
+                                        out_dtype=jnp.float32)
+    assert qt.q.dtype == jnp.int8 and qt.scale.shape == (C,)
+    got = np.asarray(packed_bilinear_sample_views(qt, H, W, uv), np.float32)
+    want = np.asarray(packed_bilinear_sample_views(
+        pack_bilinear_corners(jnp.asarray(feats)), H, W, uv), np.float32)
+    amax = np.abs(feats).reshape(-1, C).max(0)
+    err = np.abs(got - want).reshape(-1, C).max(0)
+    assert (err <= amax / 127.0 + 1e-6).all(), \
+        f"per-channel quant err ratio {np.max(err / (amax / 127.0)):.3f}"
+
+
+def test_render_rays_close_with_int8_tables(merged_vs_separate):
+    """render.table_dtype='int8' end to end: same params, quantized fused
+    + vis corner tables; rendered rgb stays within the same bound family
+    as the other table-mode equivalences."""
+    params, out, batch = merged_vs_separate
+    model_s, _ = out["separate"]
+    cfg8 = dataclasses.replace(
+        model_s.cfg, render=dataclasses.replace(model_s.cfg.render,
+                                                table_dtype="int8"))
+    model8 = NerfPoseEstimator(cfg8, dtype=compute_dtype_of(cfg8))
+    ctx8 = jax.jit(lambda p, b: model8.apply(
+        p, b, method=model8.build_context)[0])(params, batch)
+    from nerfloc_tpu.ops.interp import QuantTable
+    assert isinstance(ctx8.fused_fine_packed, QuantTable)
+
+    _, ctx_s = out["separate"]
+    pose = batch["pose"]
+    R = 16
+    rng = np.random.default_rng(13)
+    d = np.stack([rng.uniform(-0.15, 0.15, R), rng.uniform(-0.1, 0.1, R),
+                  np.ones(R)], -1).astype(np.float32)
+    rays_d = jnp.asarray((np.asarray(pose[:3, :3])
+                          @ (d / np.linalg.norm(d, axis=-1, keepdims=True)).T).T)
+    rays_o = jnp.broadcast_to(pose[:3, 3], (R, 3))
+
+    res = {}
+    for name, model, ctx in (("bf16", model_s, ctx_s), ("int8", model8, ctx8)):
+        res[name] = model.apply(
+            params, method=lambda m: m.model_3d.render_rays(
+                ctx, rays_o, rays_d, pose, False))
+    rgb_q = np.asarray(res["int8"]["rgb"], np.float32)
+    rgb_s = np.asarray(res["bf16"]["rgb"], np.float32)
+    assert np.isfinite(rgb_q).all()
+    err = np.abs(rgb_q - rgb_s)
+    assert err.max() < 0.05, f"max rgb divergence {err.max():.4f}"
+    assert err.mean() < 0.01, f"mean rgb divergence {err.mean():.4f}"

@@ -46,13 +46,14 @@ from nerfloc_tpu.train import create_train_state, make_train_step
 from nerfloc_tpu.utils.metrics import compute_pose_error
 
 
-def base_cfg(knn_mode="flat", win=3):
+def base_cfg(knn_mode="flat", win=3, table_dtype="bf16"):
     return Config(
         backbone2d_fpn_dim=32, model_3d_hidden_dim=32, matcher_hidden_dim=48,
         n_views_train=3, lrate=1e-3, lrate_decay_steps=100000,
         train_pose=False,  # isolate the render path
         render=RenderConfig(N_samples=64, N_rand=64, chunk=4096,
-                            knn_mode=knn_mode, knn_proj_window=win),
+                            knn_mode=knn_mode, knn_proj_window=win,
+                            table_dtype=table_dtype),
         matching=MatchingConfig(fine_num_3d_keypoints=64,
                                 coarse_num_3d_keypoints=64))
 
@@ -84,9 +85,10 @@ def train_model(steps: int):
     return params
 
 
-def eval_mode(params, mode: str, win: int, eval_batches, small: bool):
+def eval_mode(params, mode: str, win: int, eval_batches, small: bool,
+              table_dtype: str = "bf16"):
     """Render held-out views + refine a perturbed pose under one knn mode."""
-    cfg = base_cfg(mode, win)
+    cfg = base_cfg(mode, win, table_dtype)
     model = NerfPoseEstimator(cfg, dtype=compute_dtype_of(cfg))
 
     @jax.jit
@@ -156,13 +158,18 @@ def main(steps: int = 400, small: bool = False):
          device_batch(make_query_batch(n_views=V, H=H, W=W, seed=s)).items()}
         for s in (100, 101)]
     rows = {}
-    for mode, win in (("flat", 3), ("proj", 3), ("proj", 5)):
-        rows[(mode, win)] = eval_mode(params, mode, win, eval_batches, small)
-    base = rows[("flat", 3)]
-    print("\nmode       psnr   d_psnr   rot_err  trans_err")
-    for (mode, win), (p, r, t) in rows.items():
+    for mode, win, td in (("flat", 3, "bf16"), ("proj", 3, "bf16"),
+                          ("proj", 5, "bf16"), ("proj", 3, "int8")):
+        rows[(mode, win, td)] = eval_mode(params, mode, win, eval_batches,
+                                          small, td)
+    base = rows[("flat", 3, "bf16")]
+    print("\nmode            psnr   d_psnr   rot_err  trans_err")
+    for (mode, win, td), (p, r, t) in rows.items():
         label = mode if mode != "proj" else f"proj({win})"
-        print(f"{label:9s} {p:6.2f} {p - base[0]:+7.2f} {r:8.3f} {t * 100:8.2f}cm")
+        if td != "bf16":
+            label += f"/{td}"
+        print(f"{label:14s} {p:6.2f} {p - base[0]:+7.2f} {r:8.3f} "
+              f"{t * 100:8.2f}cm")
 
 
 if __name__ == "__main__":
