@@ -33,14 +33,15 @@ from nerfloc_tpu.parallel.mesh import MeshSpec, make_mesh, shard_batch
 from nerfloc_tpu.train import create_train_state, make_train_step
 
 
-def run(name: str, n_samples: int, n_importance: int, steps: int):
+def run(name: str, n_samples: int, n_importance: int, steps: int,
+        n_guide: int = 64):
     cfg = Config(backbone2d_fpn_dim=32, model_3d_hidden_dim=32,
                  matcher_hidden_dim=48, n_views_train=3, lrate=1e-3,
                  lrate_decay_steps=100000,
                  train_pose=False,  # isolate the render path
                  render=RenderConfig(N_samples=n_samples,
                                      N_importance=n_importance,
-                                     N_rand=64),
+                                     N_rand=64, N_guide=n_guide),
                  matching=MatchingConfig(
                      fine_num_3d_keypoints=64, coarse_num_3d_keypoints=64))
     model = NerfPoseEstimator(cfg)
@@ -68,7 +69,15 @@ def run(name: str, n_samples: int, n_importance: int, steps: int):
         return psnrs
 
 
-def main(steps: int = 300):
+def main(steps: int = 300, guide_sweep: bool = False):
+    if guide_sweep:
+        # PSNR side of the N_guide trade (throughput side:
+        # tools/profile_int8_tables.py --guide-sweep)
+        rows = {ng: run(f"guided-16+16 g{ng}", 16, 16, steps, ng)
+                for ng in (64, 48, 32)}
+        print("\nfinal PSNR by N_guide:",
+              {ng: p[-1] for ng, p in rows.items()})
+        return
     dense = run("dense-64", 64, 0, steps)
     guided = run("guided-16+16", 16, 16, steps)
     flat32 = run("flat-32", 32, 0, steps)
@@ -79,4 +88,6 @@ def main(steps: int = 300):
 
 
 if __name__ == "__main__":
-    main(int(sys.argv[1]) if len(sys.argv) > 1 else 300)
+    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    main(int(args[0]) if args else 300,
+         guide_sweep="--guide-sweep" in sys.argv)
