@@ -26,6 +26,12 @@ def parse_args():
     p.add_argument("--ckpt", type=str, required=False, default=None)
     p.add_argument("--datadir", type=str, default=None)
     p.add_argument("--out", type=str, default=None, help="results json path")
+    p.add_argument("--load_latest", action="store_true",
+                   help="load the most recent checkpoint even when a "
+                        "metric-keyed best stream exists")
+    p.add_argument("--best_metric", type=str, default="pose_acc",
+                   help="which best stream to prefer (pose_acc / "
+                        "median_trans_err_m / psnr_test)")
     p.add_argument("--optimize_pose", action="store_true", default=None)
     p.add_argument("--vis_rendering", action="store_true", default=None)
     p.add_argument("--test_render_interval", type=int, default=None)
@@ -65,13 +71,32 @@ def main():
                   for k, v in device_batch(test_ds[0]).items()}
     params = jax.jit(model.init)(rng, init_batch, rng)
     if args.ckpt:
+        from ..train.checkpoint import (DEFAULT_METRIC_MODES,
+                                        discover_best_dirs)
+
         # orbax needs a shape/dtype template; build one from a fresh state
         template = create_train_state(params, cfg)
-        restored = CheckpointManager(args.ckpt).restore(template=template)
+        # prefer a metric-keyed best checkpoint when the train run kept one
+        # (reference tests the best ModelCheckpoint, pl/train.py:55-85)
+        best_dirs = discover_best_dirs(args.ckpt)
+        pick = None
+        if best_dirs and not args.load_latest:
+            pick = (args.best_metric if args.best_metric in best_dirs
+                    else sorted(best_dirs)[0])
+        if pick is not None:
+            mgr = CheckpointManager(
+                args.ckpt, metric_keys={pick: DEFAULT_METRIC_MODES.get(
+                    pick, "max")})
+            restored = mgr.restore(template=template, best=pick)
+            label = f"best[{pick}]"
+        else:
+            restored = CheckpointManager(args.ckpt).restore(template=template)
+            label = "latest"
         if restored is None:
             raise FileNotFoundError(f"no checkpoint under {args.ckpt}")
         params = partial_restore(params, restored["params"])
-        print(f"loaded checkpoint from {args.ckpt} (step {restored['step']})")
+        print(f"loaded {label} checkpoint from {args.ckpt} "
+              f"(step {restored['step']})")
 
     eval_step = make_eval_step(model, cfg, mesh)
     collect = cfg.vis_trajectory or cfg.vis_3d_box

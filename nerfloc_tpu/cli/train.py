@@ -37,6 +37,10 @@ def parse_args():
     p.add_argument("--batch", type=int, default=None,
                    help="global query batch == mesh data width")
     p.add_argument("--eval_interval", type=int, default=1)
+    p.add_argument("--train_render_views", type=int, default=2,
+                   help="test views rendered per epoch eval for psnr_test "
+                        "(0 disables; reference logs psnr_test every val "
+                        "epoch, pl/model.py:123-164)")
     p.add_argument("--seed", type=int, default=0)
     return p.parse_args()
 
@@ -76,7 +80,13 @@ def main():
     # remote-TPU transports)
     params = jax.jit(model.init)(rng, init_batch, rng)
 
-    mgr = CheckpointManager(os.path.join(run_dir, "ckpts"))
+    # metric-keyed best streams alongside the recency stream (reference
+    # pl/train.py:55-85: ModelCheckpoint on pose_acc / median_trans_err /
+    # psnr_test plus save_last)
+    from ..train.checkpoint import DEFAULT_METRIC_MODES
+
+    mgr = CheckpointManager(os.path.join(run_dir, "ckpts"),
+                            metric_keys=DEFAULT_METRIC_MODES)
     with mesh:
         state = create_train_state(params, cfg)
         # auto-resume (reference pl/train.py:92-98)
@@ -101,6 +111,7 @@ def main():
 
         loader = BatchLoader(train_ds, batch_size, shuffle=True,
                              seed=args.seed)
+        render_psnr_fn = None  # built lazily, cached across epoch evals
         for epoch in range(cfg.max_epochs):
             t0 = time.time()
             for it, host_batch in enumerate(loader.epoch(epoch)):
@@ -116,15 +127,26 @@ def main():
                         f.write(json.dumps(m) + "\n")
 
             if (epoch + 1) % args.eval_interval == 0:
-                from ..train.evaluate import eval_dataset
+                from ..train.evaluate import (eval_dataset,
+                                              make_render_psnr_fn,
+                                              render_psnr_eval)
 
                 results = eval_dataset(test_ds, eval_step, state.params, mesh,
                                        batch_size, rng, scene_names, cfg)
+                if args.train_render_views > 0:
+                    if render_psnr_fn is None:
+                        render_psnr_fn = make_render_psnr_fn(model)
+                    results["avg"].update(render_psnr_eval(
+                        render_psnr_fn, state.params, test_ds,
+                        max_views=args.train_render_views))
                 print(json.dumps({"epoch": epoch, "eval": results}))
                 with open(log_path, "a") as f:
                     f.write(json.dumps({"epoch": epoch, "eval": results}) + "\n")
                 mgr.save(int(state.step), state,
-                         metrics={"pose_acc": results["avg"]["pose_acc"]})
+                         metrics={k: results["avg"][k]
+                                  for k in ("pose_acc", "median_trans_err_m",
+                                            "psnr_test")
+                                  if k in results["avg"]})
             else:
                 mgr.save(int(state.step), state)
 

@@ -71,6 +71,17 @@ class RenderConfig:
     # auto-falls-back to separate tables when the fine/vis featmap
     # resolutions differ or knn_mode != 'proj'.
     use_merged_table: bool = False
+    # visibility-pruned support views in the proj-mode render hot loop:
+    # 0 = off (reference semantics: every sample aggregates all V views);
+    # k > 0 = decode NeuRay visibility from the cheap 32-ch vis table for
+    # all V views first, then gather the WIDE per-view feature rows (and
+    # rgb corners) only for each sample's top-k most visible views and run
+    # the mean/var fusion + rgb blending over those k. Cuts the dominant
+    # [V*N]-row x 1792B fused gather and the whole per-view tail by k/V
+    # (BASELINE.md render roofline, 'fewer views per sample'). Dropped
+    # views are the lowest-visibility ones, whose fusion weight and
+    # blending softmax mass are smallest. k >= V is exactly unpruned.
+    prune_views: int = 0
     knn_candidates: int = 128
     # neighbor geometry/feature assembly in the render hot loop: 'gather'
     # does one [R*S*K]-row packed gather; 'onehot' selects neighbors from
@@ -89,6 +100,12 @@ class RenderConfig:
     # sub-word elements at ~35% lower per-byte rate — see BASELINE.md
     # "int8 render-table post-mortem". rgb / xyz candidate tables are
     # unaffected (rgb is 12 cols and latency-bound; KNN geometry exact).
+    # Precedence: with use_merged_table=True (+ matching featmap
+    # resolutions + knn_mode='proj') the bf16 merged render_table REPLACES
+    # the fused-corner table, so 'int8' then applies only to the guided
+    # pass's vis corner table. Inference/throughput knob ONLY: the
+    # quantizer has no straight-through gradient, so training with 'int8'
+    # would silently zero the render-loss gradients into the feature maps.
     table_dtype: str = "bf16"
     # fused Pallas neighbor-aggregation kernel for query()'s embed ->
     # base_mlp -> attention segment (ops/fused_agg.py); backward replays
@@ -204,6 +221,9 @@ class Config:
     # test time (reference :85-92)
     cascade_matching: bool = False
     optimize_pose: bool = False
+    # refinement-ray pixel sampling: 'random' | 'grid' (reference
+    # PoseOptimizer(sampling=...), pose_optimizer.py:23,89-127)
+    optimize_pose_sampling: str = "random"
     test_time_color_jitter: bool = False
     test_time_style_change: bool = False
     test_render_interval: int = 50

@@ -84,6 +84,20 @@ def build_dataset(cfg: Config, split: str, mode: Optional[str] = None,
                                          aug_transforms, opts, mode))
         return MultiSceneDataset(datasets)
 
+    if cfg.dataset_type == "dtu":
+        # DTU MVS rectified layout (reference reaches DTU via the NeuRay
+        # submodule, neuray_base_dataset.py:20-81 — empty in the checkout)
+        from .dtu_scene import dtu_scene_store
+
+        datasets = []
+        for scene in scenes:
+            store = dtu_scene_store(
+                base_dir, scene, light=str(dc.get("light", "3")),
+                intrinsic_scale=float(dc.get("intrinsic_scale", 4.0)))
+            datasets.append(VideoDataset(store, split, transforms,
+                                         aug_transforms, opts, mode))
+        return MultiSceneDataset(datasets)
+
     if cfg.dataset_type == "colmap":
         # COLMAP dense workspaces (reference ColmapDataset dispatch,
         # datasets/__init__.py:15-52); one workspace per "scene" path

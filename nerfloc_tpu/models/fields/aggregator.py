@@ -102,7 +102,8 @@ class MultiviewFeatureAggregator(nn.Module):
                  proj=None, fused_packed: Optional[Array] = None,
                  rgb_packed: Optional[Array] = None,
                  render_table: Optional[Array] = None,
-                 samples=None):
+                 samples=None, feat_packed: Optional[Array] = None,
+                 vis_packed: Optional[Array] = None, prune_k: int = 0):
         """Aggregate per-point multiview features
         (multiview_aggregator.py:156-222).
 
@@ -119,10 +120,19 @@ class MultiviewFeatureAggregator(nn.Module):
           samples: optional precomputed (rgb [V, N, 3], fused [V, N, C+32])
           — the render loop's own sample_render_table outputs, shared so
           the table is gathered once per chunk. Requires proj.
-        Returns: (out [N, out_channels], rgb_feat [N, V, 3+C], vis [N, V, 1]).
+          feat_packed/vis_packed + prune_k > 0: visibility-pruned path
+          (render.prune_views) — decode visibility for all V from the
+          cheap 32-ch vis table, then gather the wide feature/rgb rows for
+          each sample's top-k visible views only. Requires proj.
+        Returns: (out [N, out_channels], rgb_feat [N, Vk, 3+C],
+          vis [N, Vk, 1], view_sel) where Vk = prune_k if pruning else V and
+          view_sel is [N, Vk] selected view indices (None when unpruned).
         """
         V, H, W = sv.images.shape[:3]
         C = featmaps.shape[-1]
+        if prune_k and feat_packed is not None and proj is not None:
+            return self._aggregate_pruned(sv, featmaps, proj, feat_packed,
+                                          rgb_packed, vis_packed, prune_k)
         if featmaps.shape[1:3] == sv.vis_featmaps.shape[1:3]:
             # when the backbone level shares the visibility featmaps'
             # resolution (stride-4 'fine' level — the render hot path),
@@ -176,7 +186,12 @@ class MultiviewFeatureAggregator(nn.Module):
         # astype is a no-op there)
         vis = vis.T[..., None].astype(rgb_feat.dtype)      # [N, V, 1]
         depth_diff = depth_diff.T[..., None].astype(rgb_feat.dtype)
+        out = self._fuse(rgb_feat, vis, depth_diff)
+        return out, rgb_feat, vis, None
 
+    def _fuse(self, rgb_feat: Array, vis: Array, depth_diff: Array) -> Array:
+        """Visibility-weighted mean/var fusion + the two-layer head
+        (multiview_aggregator.py:199-222); view-count agnostic."""
         weight = vis / (jnp.sum(vis, axis=1, keepdims=True) + 1e-8)
         rf_mean, rf_var = fused_mean_variance(rgb_feat, weight)
         dd_mean, dd_var = fused_mean_variance(depth_diff, weight)
@@ -185,7 +200,52 @@ class MultiviewFeatureAggregator(nn.Module):
 
         out = nn.elu(self.out_fc1(feat_agg))
         out = nn.elu(self.out_fc2(out))
-        return out, rgb_feat, vis
+        return out
+
+    def _aggregate_pruned(self, sv: SupportViews, featmaps: Array, proj,
+                          feat_packed, rgb_packed, vis_packed, prune_k: int):
+        """Visibility-pruned aggregation (render.prune_views; BASELINE.md
+        render roofline, 'fewer views per sample').
+
+        Stage 1 (all V views, cheap): sample the 32-ch vis corner table,
+        decode NeuRay visibility. Stage 2 (top-k views per sample): gather
+        the wide backbone-feature corners + rgb corners ONLY for the k most
+        visible views — [N*k] gather rows instead of [V*N] on the dominant
+        table — and fuse over those k. prune_k >= V reproduces the unpruned
+        result exactly (top-k then spans all views; the fusion weights and
+        blending softmax are permutation-invariant).
+        """
+        from ...ops.interp import packed_bilinear_sample_selected
+
+        V, H, W = sv.images.shape[:3]
+        h, w = featmaps.shape[1], featmaps.shape[2]
+        scale = jnp.array([(w - 1.0) / (W - 1.0), (h - 1.0) / (H - 1.0)],
+                          dtype=proj.uv.dtype)
+        ray_feats = packed_bilinear_sample_views(vis_packed, h, w,
+                                                 proj.uv * scale)  # [V,N,32]
+        u, v = proj.uv[..., 0], proj.uv[..., 1]
+        rf_valid = (jnp.abs(proj.depth) >= 1e-4) & (u >= -0.5) & \
+            (u < W - 0.5) & (v >= -0.5) & (v < H - 0.5)
+        ray_feats = ray_feats * rf_valid[..., None].astype(ray_feats.dtype)
+        vis_all, dd_all = self._decode_visibility(
+            sv, ray_feats, proj.depth, rf_valid)       # [V, N] each
+
+        k = min(prune_k, V)
+        vis_T = vis_all.T.astype(jnp.float32)           # [N, V]
+        _, sel = jax.lax.top_k(vis_T, k)                # [N, k]
+        uv_sel = jnp.take_along_axis(proj.uv.transpose(1, 0, 2),
+                                     sel[..., None], axis=1)  # [N, k, 2]
+        feat = packed_bilinear_sample_selected(feat_packed, h, w,
+                                               uv_sel * scale, sel)
+        rgb = packed_bilinear_sample_selected(rgb_packed, H, W, uv_sel, sel)
+        rgb_feat = jnp.concatenate([rgb, feat], axis=-1)     # [N, k, 3+C]
+        vis = jnp.take_along_axis(vis_T, sel, axis=1)[..., None] \
+            .astype(rgb_feat.dtype)
+        depth_diff = jnp.take_along_axis(dd_all.T.astype(jnp.float32),
+                                         sel, axis=1)[..., None] \
+            .astype(rgb_feat.dtype)
+        out = self._fuse(rgb_feat, vis, depth_diff)
+        return out, rgb_feat, vis, sel
 
     def predict_ref_depths(self, sv: SupportViews) -> Array:
         """Decode per-view depth maps from ray feats at 1/4 res

@@ -193,7 +193,8 @@ class ConditionalNeRF(nn.Module):
 
         # coarse confidence is fixed to 1 (model.py:171); fine confidence via
         # the multiview aggregator (model.py:172-175).
-        mv_feat, _, _ = self.multiview_aggregator(sv, feat_fine_src, fine.xyz)
+        mv_feat, _, _, _ = self.multiview_aggregator(sv, feat_fine_src,
+                                                     fine.xyz)
         conf_f = self.confidence_mlp(mv_feat)
         fine = fine.replace(confidence=conf_f * fine.mask[:, None].astype(conf_f.dtype))
 
@@ -213,30 +214,46 @@ class ConditionalNeRF(nn.Module):
         res_match = feat_fine_src.shape[1:3] == vis_featmaps.shape[1:3]
         use_merged = (self.cfg.render.use_merged_table and res_match
                       and self.cfg.render.knn_mode == "proj")
+        # visibility-pruned render (render.prune_views): feature-only corner
+        # table gathered at [N*k] selected rows + the always-built vis table;
+        # mutually exclusive with the merged table, supersedes the fused one
+        use_pruned = (self.cfg.render.prune_views > 0 and res_match
+                      and not use_merged)
         fused_fine_packed = render_table = xyz_window_packed = None
+        feat_fine_packed = None
         rgb_packed = pack_bilinear_corners(images.astype(self.dtype))
         if res_match:
-            fused = jnp.concatenate(
-                [feat_fine_src.astype(self.dtype),
-                 vis_featmaps.astype(self.dtype)], axis=-1)
-            if use_merged:
-                xyz10 = xyz_window_channels(fine.xyz.reshape(V, hf, wf, 3),
-                                            fine.mask.reshape(V, hf, wf))
-                render_table = pack_render_table(fused, xyz10)
-            elif self.cfg.render.table_dtype == "int8":
-                fused_fine_packed = quantize_pack_bilinear_corners(
-                    fused, out_dtype=self.dtype)
+            if use_pruned:
+                feat_only = feat_fine_src.astype(self.dtype)
+                if self.cfg.render.table_dtype == "int8":
+                    feat_fine_packed = quantize_pack_bilinear_corners(
+                        feat_only, out_dtype=self.dtype)
+                else:
+                    feat_fine_packed = pack_bilinear_corners(feat_only)
             else:
-                fused_fine_packed = pack_bilinear_corners(fused)
+                fused = jnp.concatenate(
+                    [feat_fine_src.astype(self.dtype),
+                     vis_featmaps.astype(self.dtype)], axis=-1)
+                if use_merged:
+                    xyz10 = xyz_window_channels(
+                        fine.xyz.reshape(V, hf, wf, 3),
+                        fine.mask.reshape(V, hf, wf))
+                    render_table = pack_render_table(fused, xyz10)
+                elif self.cfg.render.table_dtype == "int8":
+                    fused_fine_packed = quantize_pack_bilinear_corners(
+                        fused, out_dtype=self.dtype)
+                else:
+                    fused_fine_packed = pack_bilinear_corners(fused)
         if not use_merged:
             # 3x3-window candidate table for projection-window render KNN
             # (ops/knn.knn_proj): fine points are the stride-s featmap grid
             xyz_window_packed = pack_xyz_window(
                 fine.xyz.reshape(V, hf, wf, 3), fine.mask.reshape(V, hf, wf),
                 win=self.cfg.render.knn_proj_window)
-        # vis-only corner table for the guided coarse pass (tiny: 32ch)
+        # vis-only corner table for the guided coarse pass (tiny: 32ch) and
+        # for the pruned path's stage-1 visibility decode
         vis_corner_packed = None
-        if self.cfg.render.N_importance > 0:
+        if self.cfg.render.N_importance > 0 or use_pruned:
             if self.cfg.render.table_dtype == "int8":
                 vis_corner_packed = quantize_pack_bilinear_corners(
                     vis_featmaps, out_dtype=self.dtype)
@@ -252,7 +269,8 @@ class ConditionalNeRF(nn.Module):
                             rgb_packed=rgb_packed,
                             vis_corner_packed=vis_corner_packed,
                             xyz_window_packed=xyz_window_packed,
-                            render_table=render_table)
+                            render_table=render_table,
+                            feat_fine_packed=feat_fine_packed)
 
     # ------------------------------------------------------------------
     # keypoint sampling
@@ -303,12 +321,15 @@ class ConditionalNeRF(nn.Module):
         featmaps = ctx.feat_coarse_src if level == "coarse" else ctx.feat_fine_src
 
         fine_level = level == "fine"
-        mv_agg, mv_feat, mv_vis = self.multiview_aggregator(
+        mv_agg, mv_feat, mv_vis, view_sel = self.multiview_aggregator(
             ctx.sv, featmaps, xyz, proj=proj,
             fused_packed=ctx.fused_fine_packed if fine_level else None,
             rgb_packed=ctx.rgb_packed if fine_level else None,
             render_table=ctx.render_table if fine_level else None,
-            samples=mv_samples)
+            samples=mv_samples,
+            feat_packed=ctx.feat_fine_packed if fine_level else None,
+            vis_packed=ctx.vis_corner_packed if fine_level else None,
+            prune_k=cfg.render.prune_views if fine_level else 0)
 
         if knn_idx is None:
             dists, idx = knn(xyz, points.xyz, K=K, points_mask=points.mask)
@@ -436,6 +457,7 @@ class ConditionalNeRF(nn.Module):
             "weights": weights,
             "multiview_feature": mv_feat,
             "multiview_visibility": mv_vis,
+            "view_sel": view_sel,
         }
 
     def query_coarse(self, ctx: SceneContext, points: Optional[Array] = None,
@@ -587,10 +609,16 @@ class ConditionalNeRF(nn.Module):
         geo_flat = geo_feat.reshape(R * N_samples, -1)
         sigma = self.sigma_mlp(geo_flat)  # [RN, 1]
 
-        # color blending (model.py:528-538)
+        # color blending (model.py:528-538); under visibility pruning the
+        # view axis holds each sample's top-k visible views (qd['view_sel'])
+        # and ray_diff is selected to match — the softmax below then blends
+        # over those k views only
         V = mv_feat.shape[1]
         rgb_in = mv_feat[:, :, :3]
         ray_diff = compute_angle(xyz_flat, pose, ctx.sv.poses).transpose(1, 0, 2)
+        if qd["view_sel"] is not None:
+            ray_diff = jnp.take_along_axis(
+                ray_diff, qd["view_sel"][..., None], axis=1)
         if self.is_initializing():
             x_rgb = jnp.concatenate([
                 jnp.broadcast_to(feature_agg[:, None, :],

@@ -68,3 +68,9 @@ class SceneContext:
     # xyz_window_packed when present; rgb_packed stays separate (see
     # pack_render_table docstring).
     render_table: Optional[Array] = None  # [V*(hf+4)*(wf+4), 4*Cf+250]
+    # feature-ONLY corner table (no vis channels) for the visibility-pruned
+    # render path (render.prune_views > 0): visibility is decoded first from
+    # the cheap 32-ch vis_corner_packed sample over ALL views, then only the
+    # top-k visible views per sample gather these wide feature rows
+    # ([N*k] rows instead of [V*N]). Replaces fused_fine_packed when set.
+    feat_fine_packed: Optional[Any] = None  # [V*Hf*Wf, 4*C]

@@ -43,6 +43,12 @@ def quantize_pack_bilinear_corners(feats: Array, out_dtype=jnp.bfloat16,
     Symmetric per-channel quantization: scale[c] = amax_c / 127. Built once
     per localization query (SceneContext), so the reduction over V*H*W rows
     is amortized across every render chunk.
+
+    Inference-only: round/clip has NO straight-through estimator, so a
+    training config with table_dtype='int8' would get zero gradients from
+    the render loss into feat_fine_src / vis_featmaps (build_context runs
+    inside the train step). Keep table_dtype='bf16' for training; see the
+    RenderConfig.table_dtype comment for the full precedence rules.
     """
     f32 = feats.astype(jnp.float32)
     amax = jnp.max(jnp.abs(f32), axis=(0, 1, 2))
@@ -207,6 +213,41 @@ def packed_bilinear_sample_views(packed, H: int, W: int,
     if scale is not None:
         return (out * scale[None, :]).astype(out_dtype).reshape(V, N, C)
     return out.astype(packed.dtype).reshape(V, N, C)
+
+
+def packed_bilinear_sample_selected(packed, H: int, W: int, uv: Array,
+                                    view_idx: Array) -> Array:
+    """Sample a pack_bilinear_corners table at PER-SAMPLE selected views.
+
+    uv: [N, k, 2] pixel coords; view_idx: [N, k] int32 view of each sample.
+    Returns [N, k, C]. The visibility-pruned render path gathers only the
+    top-k most visible views per sample — [N*k] rows instead of [V*N] —
+    cutting the wide feature gather and everything downstream by k/V
+    (BASELINE.md render roofline, 'fewer views per sample' lever).
+    Semantics otherwise identical to packed_bilinear_sample_views.
+    """
+    scale = None
+    out_dtype = None
+    if isinstance(packed, QuantTable):
+        packed, scale, out_dtype = packed.q, packed.scale, packed.out_dtype
+    N, k = uv.shape[0], uv.shape[1]
+    C = packed.shape[-1] // 4
+    u = jnp.clip(uv[..., 0], 0.0, W - 1)
+    v = jnp.clip(uv[..., 1], 0.0, H - 1)
+    u0 = jnp.clip(jnp.floor(u), 0, W - 2).astype(jnp.int32)
+    v0 = jnp.clip(jnp.floor(v), 0, H - 2).astype(jnp.int32)
+    du = (u - u0).reshape(-1, 1).astype(jnp.float32)
+    dv = (v - v0).reshape(-1, 1).astype(jnp.float32)
+    idx = (view_idx * (H * W) + v0 * W + u0).reshape(-1)
+    g = jnp.take(packed, idx, axis=0)                   # [N*k, 4C]
+    if scale is not None:
+        g = g.astype(jnp.float32)
+    top = g[:, :C] * (1 - du) + g[:, C:2 * C] * du
+    bot = g[:, 2 * C:3 * C] * (1 - du) + g[:, 3 * C:] * du
+    out = top * (1 - dv) + bot * dv
+    if scale is not None:
+        return (out * scale[None, :]).astype(out_dtype).reshape(N, k, C)
+    return out.astype(packed.dtype).reshape(N, k, C)
 
 
 # 5x5 candidate window of the merged render table, relative to the bilinear

@@ -83,8 +83,26 @@ def refine_pose(render_fn: Callable, pose_init: Array, K: Array,
 
 
 def sample_refine_pixels(rng: Array, H: int, W: int, n: int,
-                         target_mask: Optional[Array] = None) -> Array:
-    """Random pixel subset (reference 'random' sampling, :115-125)."""
+                         target_mask: Optional[Array] = None,
+                         mode: str = "random", dilation: int = 10) -> Array:
+    """Pixel subset for the refinement rays, always exactly `n` (static
+    shape). Modes mirror the reference (pose_optimizer.py:89-127):
+      'random' — uniform subset (mask-aware when `target_mask` is given);
+      'grid'   — every `dilation`-th pixel in both dims (reference :108-114,
+                 dilation 10), evenly re-strided / wrapped to exactly n.
+    """
+    if mode == "grid":
+        gh = (H + dilation - 1) // dilation
+        gw = (W + dilation - 1) // dilation
+        vv, uu = jnp.meshgrid(jnp.arange(gh) * dilation,
+                              jnp.arange(gw) * dilation, indexing="ij")
+        uv_all = jnp.stack([uu.reshape(-1), vv.reshape(-1)], axis=-1)  # row-major
+        m = gh * gw
+        if m >= n:
+            sel = (jnp.arange(n) * m) // n   # even subsample of the grid
+        else:
+            sel = jnp.arange(n) % m          # wrap: repeat grid points
+        return uv_all[sel].astype(jnp.float32)
     if target_mask is not None:
         logits = jnp.where(target_mask.reshape(-1) > 0, 0.0, -jnp.inf)
         g = jax.random.gumbel(rng, (H * W,)) + logits

@@ -96,6 +96,46 @@ def _decode_names(arr) -> list:
     return [bytes(row[row != 0]).decode("utf-8") for row in np.asarray(arr)]
 
 
+def make_render_psnr_fn(model):
+    """One jitted full-image render (built ONCE so the XLA cache persists
+    across epoch evals). Used by cli.train's epoch eval to log psnr_test —
+    the reference's val loop renders and logs rgb/depth + psnr_test every
+    epoch and keys a ModelCheckpoint on it (pl/model.py:123-164,
+    pl/train.py:55-85)."""
+    import jax.numpy as jnp
+
+    @jax.jit
+    def render_one(params, batch):
+        def f(m):
+            ctx, _ = m.build_context(batch)
+            H, W = batch["image"].shape[0], batch["image"].shape[1]
+            return m.model_3d.render_image(ctx, batch["K"], batch["pose"],
+                                           H, W)
+        return model.apply(params, method=f)
+
+    def psnr_of(params, item):
+        from ..models.fields.losses import img2mse, mse2psnr
+
+        batch = {k: jnp.asarray(v) for k, v in device_batch(item).items()}
+        out = render_one(params, batch)
+        return float(mse2psnr(img2mse(out["rgb"], batch["image"],
+                                      mask=out["mask"])))
+
+    return psnr_of
+
+
+def render_psnr_eval(psnr_of, params, test_ds, max_views: int = 2,
+                     interval: int = 0) -> Dict:
+    """Mean render PSNR over up to `max_views` strided test views."""
+    n = len(test_ds)
+    if n == 0 or max_views <= 0:
+        return {"psnr_test": float("nan"), "n_rendered": 0}
+    stride = max(interval, 1) if interval else max(n // max_views, 1)
+    idxs = list(range(0, n, stride))[:max_views]
+    psnrs = [psnr_of(params, test_ds[i]) for i in idxs]
+    return {"psnr_test": float(np.mean(psnrs)), "n_rendered": len(psnrs)}
+
+
 def eval_dataset(test_ds, eval_step, params, mesh, batch_size: int,
                  rng, scene_names: Dict[int, str], cfg,
                  collect_poses: bool = False) -> Dict:

@@ -121,7 +121,8 @@ def make_eval_step(model, cfg: Config, mesh: Mesh) -> Callable:
 
             uv = sample_refine_pixels(r_ref, H, W,
                                       cfg.shapes.pose_refine_rays,
-                                      b.get("target_mask"))
+                                      b.get("target_mask"),
+                                      mode=cfg.optimize_pose_sampling)
             pose = refine_pose(render_fn, pose, b["K"], b["image"], uv,
                                r_ref, max_steps=50, lr=1e-3)
 

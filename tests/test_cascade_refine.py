@@ -62,6 +62,27 @@ def test_eval_with_cascade_and_refine():
     assert np.isfinite(np.asarray(out["pose_pred"])).all()
 
 
+def test_sample_refine_pixels_grid_mode():
+    """'grid' mode = every dilation-th pixel (reference pose_optimizer.py:
+    108-114), squeezed/wrapped to the static ray count."""
+    from nerfloc_tpu.solve.pose_refine import sample_refine_pixels
+
+    rng = jax.random.PRNGKey(0)
+    # more grid points (7*10=70) than n=16: even subsample, all on the grid
+    uv = np.asarray(sample_refine_pixels(rng, 64, 96, 16, mode="grid"))
+    assert uv.shape == (16, 2)
+    assert (uv[:, 0] % 10 == 0).all() and (uv[:, 1] % 10 == 0).all()
+    assert (uv[:, 0] < 96).all() and (uv[:, 1] < 64).all()
+    assert len(np.unique(uv, axis=0)) == 16  # even stride -> distinct
+    # fewer grid points (2*2=4) than n=6: wraps
+    uv2 = np.asarray(sample_refine_pixels(rng, 16, 16, 6, mode="grid"))
+    assert uv2.shape == (6, 2)
+    assert len(np.unique(uv2, axis=0)) == 4
+    # random mode unchanged
+    uv3 = np.asarray(sample_refine_pixels(rng, 16, 16, 6, mode="random"))
+    assert uv3.shape == (6, 2)
+
+
 def test_render_image_chunked():
     cfg = tiny_cfg()
     model = NerfPoseEstimator(cfg)

@@ -121,6 +121,76 @@ def test_transform_extras():
                                float(jnp.arccos(x)), atol=1e-6)
 
 
+def _write_pfm(path, data):
+    data = np.flipud(np.asarray(data, np.float32))
+    with open(path, "wb") as f:
+        f.write(b"Pf\n")
+        f.write(f"{data.shape[1]} {data.shape[0]}\n".encode())
+        f.write(b"-1.0\n")
+        data.astype("<f4").tofile(f)
+
+
+def test_dtu_scene_store(tmp_path):
+    """MVSNet rectified DTU layout -> SceneStore: cam.txt parsing (quarter-res
+    intrinsics rescaled), holdout split, mm->unit rescale, pose-proximity
+    retrieval, and depth/pose backprojection consistency."""
+    import cv2
+
+    from nerfloc_tpu.data.dtu_scene import dtu_scene_store
+    from nerfloc_tpu.data.reader import load_frame
+
+    H, W = 32, 40
+    f = 40.0
+    K = np.array([[f, 0, W / 2], [0, f, H / 2], [0, 0, 1.0]])
+    base = str(tmp_path / "dtu")
+    for sub in ("Cameras/train", "Rectified/scan1_train", "Depths/scan1_train"):
+        os.makedirs(os.path.join(base, sub))
+    n = 6
+    for i in range(n):
+        ang = 0.35 * i
+        c2w = look_at_pose(np.array([0.3 * np.cos(ang), 0.1,
+                                     0.3 * np.sin(ang)]),
+                           np.array([2.0, 0, 0.0]))
+        w2c = np.linalg.inv(c2w)
+        rgb, depth = render_box_view(c2w, K, H, W)
+        cv2.imwrite(os.path.join(base, "Rectified/scan1_train",
+                                 f"rect_{i + 1:03d}_3_r5000.png"),
+                    cv2.cvtColor((rgb * 255).astype(np.uint8),
+                                 cv2.COLOR_RGB2BGR))
+        _write_pfm(os.path.join(base, "Depths/scan1_train",
+                                f"depth_map_{i:04d}.pfm"), depth)
+        ext = "\n".join(" ".join(f"{v:.8f}" for v in row) for row in w2c)
+        intr = "\n".join(" ".join(f"{v:.8f}" for v in row) for row in K / 4.0)
+        with open(os.path.join(base, "Cameras/train",
+                               f"{i:08d}_cam.txt"), "w") as fh:
+            fh.write(f"extrinsic\n{ext}\n\nintrinsic\n{intr}\n\n"
+                     f"1.0 0.026 192 6.0\n")
+
+    store = dtu_scene_store(base, "scan1", light="3", intrinsic_scale=4.0)
+    assert len(store.test_frames) == 1 and len(store.train_frames) == n - 1
+    # rescale: far = 6.0 * 1.1 -> 10 units
+    assert abs(store.far - 10.0) < 1e-6
+    s = store.scale_factor
+    assert abs(s - 10.0 / 6.6) < 1e-6
+    # pose-proximity retrieval attached
+    assert all(len(fr["top_k"]) > 0 for fr in store.train_frames)
+    # backprojection consistency after recenter+rescale (depth scaled like
+    # video_dataset.py:238 does at item load)
+    img, depth, Tcw, Kl = load_frame(store.base_dir, store.train_frames[0])
+    assert img.shape == (H, W, 3)
+    assert Kl[0, 0] == pytest.approx(f)  # quarter-res intrinsics rescaled
+    vs, us = np.nonzero(depth > 0)
+    z = depth[vs[::17], us[::17]] * s
+    x = (us[::17] - Kl[0, 2]) / Kl[0, 0] * z
+    y = (vs[::17] - Kl[1, 2]) / Kl[1, 1] * z
+    pts_cam = np.stack([x, y, z], -1)
+    T = np.eye(4); T[:3] = Tcw
+    c2w = np.linalg.inv(T)
+    pts_w = pts_cam @ c2w[:3, :3].T + c2w[:3, 3]
+    # the box (|coord| <= 2.5 pre-scale) recentred then scaled by s
+    assert (np.abs(pts_w).max(axis=1) < 2.8 * s + 0.5).all()
+
+
 def test_blender_scene_store(tmp_path):
     import cv2
     import json

@@ -67,6 +67,49 @@ def test_pnp_respects_mask():
     assert not bool(res.inliers[: n // 2].any())
 
 
+def test_pnp_p3p_survives_high_outlier_rate():
+    """At 65-70% outliers, 512 P3P hypotheses (hit rate ~ w^3) succeed where
+    6-point DLT (~ w^6: expected clean samples ~ 512 * 0.3^6 = 0.37) fails —
+    the capability gap vs pycolmap's P3P (reference
+    nerf_pose_estimator.py:557-583) that minimal='p3p' closes."""
+    p3p_fails, dlt_fails = 0, 0
+    for seed in range(3):
+        uv, pts_w, K, c2w_gt = make_scene(n=256, outlier_frac=0.7,
+                                          noise_px=1.0, seed=seed)
+        mask = jnp.ones(uv.shape[0], dtype=bool)
+        for minimal in ("p3p", "dlt6"):
+            res = ransac_pnp(uv, pts_w, mask, K, jax.random.PRNGKey(seed),
+                             n_hyps=512, minimal=minimal)
+            rot, trans = compute_pose_error(res.c2w, c2w_gt)
+            good = bool(res.success) and float(rot) < 1.0 and float(trans) < 0.05
+            if not good:
+                if minimal == "p3p":
+                    p3p_fails += 1
+                else:
+                    dlt_fails += 1
+    assert p3p_fails == 0, f"p3p failed {p3p_fails}/3 at 70% outliers"
+    # documents WHY p3p is the default: dlt6 collapses here
+    assert dlt_fails >= 2, f"dlt6 unexpectedly robust ({dlt_fails}/3 fails)"
+
+
+def test_pnp_failure_is_finite():
+    """A hopeless solve (no valid matches at all) must return success=False
+    with a FINITE pose — callers select on `success` with jnp.where, so a
+    NaN c2w would poison both branches."""
+    rng = np.random.default_rng(0)
+    uv = jnp.asarray(rng.uniform(0, 640, (32, 2)), jnp.float32)
+    pts = jnp.asarray(rng.standard_normal((32, 3)), jnp.float32)
+    K = jnp.asarray(np.array([[500.0, 0, 320], [0, 500.0, 240], [0, 0, 1]],
+                             np.float32))
+    for minimal in ("p3p", "dlt6"):
+        res = ransac_pnp(uv, pts, jnp.zeros(32, bool), K,
+                         jax.random.PRNGKey(0), n_hyps=32, minimal=minimal)
+        assert not bool(res.success)
+        assert np.isfinite(np.asarray(res.c2w)).all()
+        assert np.isfinite(np.asarray(res.w2c)).all()
+        assert int(res.num_inliers) == 0
+
+
 def test_pnp_jits_and_is_deterministic():
     uv, pts_w, K, c2w_gt = make_scene(seed=4)
     mask = jnp.ones(uv.shape[0], dtype=bool)

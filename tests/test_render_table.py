@@ -233,8 +233,10 @@ def test_quantized_corner_table_matches_f32():
         pack_bilinear_corners(jnp.asarray(feats)), H, W, uv), np.float32)
     amax = np.abs(feats).reshape(-1, C).max(0)
     err = np.abs(got - want).reshape(-1, C).max(0)
-    assert (err <= amax / 127.0 + 1e-6).all(), \
-        f"per-channel quant err ratio {np.max(err / (amax / 127.0)):.3f}"
+    # per-corner rounding error <= scale/2 = amax/254, preserved by the
+    # convex bilinear blend; 5% slack covers f32 blend rounding
+    assert (err <= amax / 254.0 * 1.05 + 1e-6).all(), \
+        f"per-channel quant err ratio {np.max(err / (amax / 254.0)):.3f}"
 
 
 def test_render_rays_close_with_int8_tables(merged_vs_separate):

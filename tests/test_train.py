@@ -91,6 +91,43 @@ def test_partial_restore_shape_matching():
     np.testing.assert_allclose(np.asarray(out["new_head"]["w"]), 1.0)  # fresh
 
 
+def test_checkpoint_best_retention(tmp_path):
+    """A later WORSE save never evicts the best checkpoint (reference
+    pl/train.py:55-85 metric-keyed ModelCheckpoint), and restore(best=...)
+    returns it; the recency stream still serves auto-resume."""
+    from nerfloc_tpu.train.checkpoint import (CheckpointManager,
+                                              discover_best_dirs)
+
+    def st(i, v):
+        return {"step": i, "params": {"w": np.full(3, float(v))},
+                "opt_state": {"m": np.zeros(3)}}
+
+    d = str(tmp_path / "ckpts")
+    mgr = CheckpointManager(d, max_to_keep=2,
+                            metric_keys={"pose_acc": "max",
+                                         "median_trans_err_m": "min"})
+    mgr.save(1, st(1, 1.0), metrics={"pose_acc": 0.5,
+                                     "median_trans_err_m": 0.10})
+    mgr.save(2, st(2, 2.0), metrics={"pose_acc": 0.9,
+                                     "median_trans_err_m": 0.03})
+    mgr.save(3, st(3, 3.0), metrics={"pose_acc": 0.4,
+                                     "median_trans_err_m": 0.20})
+    mgr.save(4, st(4, 4.0))  # metric-less save (non-eval epoch)
+
+    assert mgr.latest_step() == 4
+    assert mgr.best_step("pose_acc") == 2
+    assert mgr.best_step("median_trans_err_m") == 2
+    r = mgr.restore(best="pose_acc", template=st(0, 0.0))
+    np.testing.assert_allclose(np.asarray(r["params"]["w"]), 2.0)
+    # recency retention dropped steps 1-2 from the main stream
+    r_latest = mgr.restore(template=st(0, 0.0))
+    np.testing.assert_allclose(np.asarray(r_latest["params"]["w"]), 4.0)
+    # a fresh manager (new process) still finds the streams on disk
+    assert set(discover_best_dirs(d)) == {"pose_acc", "median_trans_err_m"}
+    mgr2 = CheckpointManager(d, metric_keys={"pose_acc": "max"})
+    assert mgr2.best_step("pose_acc") == 2
+
+
 def test_matching_iou_exact():
     match_j = jnp.array([3, 5, 7, 9])
     match_mask = jnp.array([True, True, False, True])

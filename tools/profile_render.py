@@ -139,7 +139,7 @@ def main():
                 fused_packed=ctx.fused_fine_packed,
                 rgb_packed=ctx.rgb_packed,
                 render_table=ctx.render_table)
-        out, rgb_feat, vis = model.apply(params, method=f)
+        out, rgb_feat, vis, _ = model.apply(params, method=f)
         return jnp.sum(out) + jnp.sum(rgb_feat) + jnp.sum(vis)
 
     knn_idx_c = jax.jit(lambda: knn_rays(
