@@ -35,6 +35,10 @@ def parse_args():
     p.add_argument("--optimize_pose", action="store_true", default=None)
     p.add_argument("--vis_rendering", action="store_true", default=None)
     p.add_argument("--test_render_interval", type=int, default=None)
+    p.add_argument("--ray_shards", type=int, default=1,
+                   help="shard each rendered image's rays over this many "
+                        "devices (mesh ray axis); 1 = single-device "
+                        "lax.map chunk loop")
     p.add_argument("--seed", type=int, default=0)
     return p.parse_args()
 
@@ -134,7 +138,8 @@ def main():
     if cfg.vis_rendering:
         render = render_eval(model, params, cfg, test_ds,
                              out_dir=os.path.dirname(args.out)
-                             if args.out else "renders")
+                             if args.out else "renders",
+                             ray_shards=args.ray_shards)
         results["render"] = render
         # fold render PSNR into the per-scene table (reference pl/model.py:
         # 192-261 reports psnr alongside pose metrics)
@@ -150,10 +155,13 @@ def main():
             json.dump({"per_scene": results}, f)
 
 
-def render_eval(model, params, cfg, test_ds, out_dir: str = "renders"):
+def render_eval(model, params, cfg, test_ds, out_dir: str = "renders",
+                ray_shards: int = 1):
     """Render every `test_render_interval`-th test view, report PSNR, dump
     PNGs (reference test-time rendering, nerf_pose_estimator.py:372-391 +
-    pl/model.py:123-164 TB panels)."""
+    pl/model.py:123-164 TB panels). ray_shards > 1 shards each image's rays
+    over a (data=1, ray=ray_shards) mesh (parallel/render.py) — the
+    multi-chip render path, reachable from the CLI."""
     import jax
     import jax.numpy as jnp
 
@@ -163,14 +171,32 @@ def render_eval(model, params, cfg, test_ds, out_dir: str = "renders"):
 
     os.makedirs(out_dir, exist_ok=True)
 
-    @jax.jit
-    def render_one(params, batch):
-        def f(m):
-            ctx, _ = m.build_context(batch)
+    if ray_shards > 1:
+        from ..parallel.mesh import MeshSpec, make_mesh
+        from ..parallel.render import (make_context_builder,
+                                       make_ray_sharded_render,
+                                       render_image_ray_sharded)
+
+        mesh_r = make_mesh(MeshSpec(data=1, ray=ray_shards),
+                           devices=jax.local_devices()[:ray_shards])
+        build_ctx = make_context_builder(model, mesh_r)
+        rrender = make_ray_sharded_render(model, cfg, mesh_r)
+
+        def render_one(params, batch):
+            ctx = build_ctx(params, batch)
             H, W = batch["image"].shape[0], batch["image"].shape[1]
-            return m.model_3d.render_image(ctx, batch["K"], batch["pose"],
-                                           H, W)
-        return model.apply(params, method=f)
+            return render_image_ray_sharded(model, cfg, params, ctx,
+                                            batch["K"], batch["pose"],
+                                            H, W, mesh_r, render=rrender)
+    else:
+        @jax.jit
+        def render_one(params, batch):
+            def f(m):
+                ctx, _ = m.build_context(batch)
+                H, W = batch["image"].shape[0], batch["image"].shape[1]
+                return m.model_3d.render_image(ctx, batch["K"],
+                                               batch["pose"], H, W)
+            return model.apply(params, method=f)
 
     psnrs, psnr_scenes = [], []
     for i in range(0, len(test_ds), max(cfg.test_render_interval, 1)):

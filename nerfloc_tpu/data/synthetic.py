@@ -14,17 +14,40 @@ from typing import Dict
 import numpy as np
 
 
-def texture(p: np.ndarray) -> np.ndarray:
-    """Smooth 3D color field in [0, 1]; p [..., 3] -> [..., 3]."""
+def texture(p: np.ndarray, tex: int = 0) -> np.ndarray:
+    """Smooth 3D color field in [0, 1]; p [..., 3] -> [..., 3].
+
+    tex selects a texture variant: 0 is the original field (golden-pinned by
+    existing tests); tex > 0 draws deterministic frequencies/phases so
+    multi-scene studies get visually DISTINCT scenes one conditional model
+    must disambiguate purely via its support views (the reference's
+    scene-agnostic claim, pl/model.py:192-261 per-scene table)."""
     x, y, z = p[..., 0], p[..., 1], p[..., 2]
-    r = 0.5 + 0.35 * np.sin(1.7 * x + 0.3) + 0.15 * np.sin(3.1 * y * z)
-    g = 0.5 + 0.35 * np.sin(2.3 * y - 1.1) + 0.15 * np.sin(2.9 * x * z + 1.0)
-    b = 0.5 + 0.35 * np.cos(1.9 * z + 0.7) + 0.15 * np.sin(2.2 * x * y - 0.5)
+    if tex == 0:
+        r = 0.5 + 0.35 * np.sin(1.7 * x + 0.3) + 0.15 * np.sin(3.1 * y * z)
+        g = 0.5 + 0.35 * np.sin(2.3 * y - 1.1) + 0.15 * np.sin(2.9 * x * z + 1.0)
+        b = 0.5 + 0.35 * np.cos(1.9 * z + 0.7) + 0.15 * np.sin(2.2 * x * y - 0.5)
+    else:
+        rng = np.random.default_rng(1000 + tex)
+        f = rng.uniform(1.2, 3.2, size=(3,))
+        g2 = rng.uniform(1.8, 3.4, size=(3,))
+        ph = rng.uniform(0.0, 2 * np.pi, size=(6,))
+        axes = [x, y, z]
+        order = rng.permutation(3)
+        cross = [axes[order[0]] * axes[order[1]],
+                 axes[order[1]] * axes[order[2]],
+                 axes[order[2]] * axes[order[0]]]
+        r = 0.5 + 0.35 * np.sin(f[0] * axes[order[0]] + ph[0]) \
+            + 0.15 * np.sin(g2[0] * cross[0] + ph[3])
+        g = 0.5 + 0.35 * np.sin(f[1] * axes[order[1]] + ph[1]) \
+            + 0.15 * np.sin(g2[1] * cross[1] + ph[4])
+        b = 0.5 + 0.35 * np.cos(f[2] * axes[order[2]] + ph[2]) \
+            + 0.15 * np.sin(g2[2] * cross[2] + ph[5])
     return np.clip(np.stack([r, g, b], axis=-1), 0.0, 1.0)
 
 
 def render_box_view(c2w: np.ndarray, K: np.ndarray, H: int, W: int,
-                    box_half: float = 2.0):
+                    box_half: float = 2.0, tex: int = 0):
     """Render RGB + z-depth of the textured box interior from one camera."""
     u, v = np.meshgrid(np.arange(W, dtype=np.float64),
                        np.arange(H, dtype=np.float64), indexing="xy")
@@ -42,7 +65,7 @@ def render_box_view(c2w: np.ndarray, K: np.ndarray, H: int, W: int,
         )
     t_hit = np.min(np.where(t_axis > 0, t_axis, np.inf), axis=-1)  # [H, W]
     pts = o + d_w * t_hit[..., None]
-    rgb = texture(pts).astype(np.float32)
+    rgb = texture(pts, tex).astype(np.float32)
     depth = t_hit.astype(np.float32)  # z-depth: d_cam z-component is 1
     return rgb, depth
 
