@@ -416,3 +416,23 @@ def estimate_pose_pnp(mkps2d: Array, mkps3d: Array, match_mask: Array, K: Array,
     (reference nerf_pose_estimator.py:557-583): returns camera-to-world."""
     return ransac_pnp(mkps2d, mkps3d, match_mask, K, rng,
                       thresh_px=ransac_thresh, n_hyps=n_hyps)
+
+
+def count_pose_inliers(c2w: Array, pts2d: Array, pts3d: Array, mask: Array,
+                       K: Array, thresh_px: float = 8.0) -> Array:
+    """Reprojection-inlier count of an ARBITRARY pose over a match set, using
+    the same normalized-coordinate error/threshold as ransac_pnp — lets two
+    candidate poses (e.g. stage-1 vs cascade, nerf_pose_estimator.py:330-349)
+    be scored on identical data.
+    """
+    R = c2w[:3, :3]
+    t = c2w[:3, 3]
+    w2c34 = jnp.concatenate([R.T, (-R.T @ t)[:, None]], axis=-1)
+    f = (K[0, 0] + K[1, 1]) / 2.0
+    x_norm = jnp.stack([
+        (pts2d[:, 0] - K[0, 2]) / K[0, 0],
+        (pts2d[:, 1] - K[1, 2]) / K[1, 1],
+    ], axis=-1)
+    err = _reproj_err2(w2c34, pts3d.astype(x_norm.dtype), x_norm)
+    thresh2 = (thresh_px / f) ** 2
+    return jnp.sum((err < thresh2) & mask).astype(jnp.int32)

@@ -103,8 +103,17 @@ class CheckpointManager:
         if step is None:
             return None
         if template is not None:
-            return mgr.restore(
-                step, args=ocp.args.StandardRestore(to_saveable(template)))
+            try:
+                return mgr.restore(
+                    step, args=ocp.args.StandardRestore(to_saveable(template)))
+            except ValueError:
+                # Template tree differs from the stored tree — e.g. testing
+                # with cascade_matching off against a checkpoint trained with
+                # it on (ablations), or warm-starting a model with extra
+                # heads (reference pl/model.py:33-41 shape-matched merge).
+                # Fall back to a raw restore; callers merge the intersection
+                # with partial_restore().
+                pass
         return mgr.restore(step)
 
 

@@ -17,7 +17,7 @@ import jax.numpy as jnp
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ..configs import Config
-from ..solve.pnp import ransac_pnp
+from ..solve.pnp import count_pose_inliers, ransac_pnp
 from ..utils.metrics import compute_pose_error, matching_iou
 from .state import TrainState
 
@@ -102,7 +102,18 @@ def make_eval_step(model, cfg: Config, mesh: Mesh) -> Callable:
             m2 = model.apply(params, ctx, q2d, b, desc_3d, pts3d, pts3d_ndc,
                              pose, method=model.match_cascade)
             pnp2 = solve(m2, r_pnp2)
-            use2 = pnp2.success
+            # Accept the cascade pose only if it explains the STAGE-1 match
+            # set at least as well as the stage-1 pose. A cascade re-match
+            # seeded by a bad pose masks the true keypoints and can still
+            # hit >=6 chance inliers on its own pairs; the reference relies
+            # on pycolmap returning failure there, our on-device solver
+            # needs this explicit same-data comparison (measured: without
+            # it, cascade turned 7.8 deg median into 74.6 deg on the
+            # multi-scene study).
+            n2_on_m = count_pose_inliers(pnp2.c2w, m["mkps2d_f"],
+                                         m["mkps3d"], m["pair_mask"],
+                                         b["K"], cfg.ransac_thresh)
+            use2 = pnp2.success & (n2_on_m >= num_inliers)
             pose = jnp.where(use2, pnp2.c2w, pose)
             num_inliers = jnp.where(use2, pnp2.num_inliers, num_inliers)
 

@@ -37,9 +37,10 @@ def test_e2e_pose_error_bound(tmp_path):
     runs = str(tmp_path / "runs")
     cmd = [sys.executable, "-u", os.path.join(REPO, "tools/e2e_pose_study.py"),
            "--root", str(tmp_path / "scene"), "--runs", runs,
-           "--epochs", "25", "--n_train", "32", "--n_test", "8"]
+           "--epochs", "25", "--n_train", "32", "--n_test", "8",
+           "--scenes", "1"]
     subprocess.run(cmd, check=True, env=env, cwd=REPO, timeout=3600)
-    with open(os.path.join(runs, "e2e_test.json")) as f:
+    with open(os.path.join(runs, "e2e_test_full.json")) as f:
         res = json.load(f)
     avg = res["per_scene"]["avg"]
     # full convergence needs 60 epochs; at 25 the pipeline must already

@@ -116,3 +116,29 @@ def test_pnp_jits_and_is_deterministic():
     r1 = ransac_pnp(uv, pts_w, mask, K, jax.random.PRNGKey(7), n_hyps=64)
     r2 = ransac_pnp(uv, pts_w, mask, K, jax.random.PRNGKey(7), n_hyps=64)
     np.testing.assert_allclose(np.asarray(r1.c2w), np.asarray(r2.c2w))
+
+
+def test_count_pose_inliers_scores_candidate_poses():
+    """count_pose_inliers is the eval-time cascade acceptance gate
+    (train/step.py): a pose must explain the stage-1 match set at least as
+    well as the stage-1 pose to replace it. GT pose counts ~all valid pairs;
+    a strongly perturbed pose counts far fewer; masked pairs never count."""
+    from nerfloc_tpu.solve.pnp import count_pose_inliers
+
+    uv, pts_w, K, c2w_gt = make_scene(seed=5)
+    n = uv.shape[0]
+    mask = jnp.arange(n) < n - 20  # last 20 pairs invalid
+
+    n_gt = int(count_pose_inliers(c2w_gt, uv, pts_w, mask, K, thresh_px=8.0))
+    assert n_gt == n - 20  # exact projections, all valid pairs inliers
+
+    # rotate the camera 20 deg: most reprojections leave the 8 px gate
+    d = so3_exp_map(jnp.asarray([0.0, 0.35, 0.0]))
+    c2w_bad = c2w_gt.at[:3, :3].set(d @ c2w_gt[:3, :3])
+    n_bad = int(count_pose_inliers(c2w_bad, uv, pts_w, mask, K, thresh_px=8.0))
+    assert n_bad < n_gt // 4
+
+    # all-invalid mask -> zero, regardless of pose
+    zero = int(count_pose_inliers(c2w_gt, uv, pts_w,
+                                  jnp.zeros(n, bool), K))
+    assert zero == 0
