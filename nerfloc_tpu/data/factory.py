@@ -46,6 +46,17 @@ def build_dataset(cfg: Config, split: str, mode: Optional[str] = None,
     if not scenes:
         raise ValueError("no scenes configured (cfg.scenes or data yaml)")
 
+    # fail fast on near-miss keys: a lowercase 'transforms:' section would
+    # otherwise be SILENTLY ignored (the declaration surface is the
+    # reference's uppercase TRANSFORM / AUG_TRANSFORM, dataset.py:86-99)
+    bad = [k for k in dc if k.lower() in
+           ("transform", "transforms", "aug_transform", "aug_transforms")
+           and k not in ("TRANSFORM", "AUG_TRANSFORM")]
+    if bad:
+        raise ValueError(
+            f"unknown data-yaml key(s) {bad}: transform pipelines are "
+            "declared as TRANSFORM / AUG_TRANSFORM "
+            "([{'ResizeAndCrop': {...}}, ...], reference dataset.py:86-99)")
     transforms = build_transforms(dc.get("TRANSFORM", []))
     aug_transforms = build_transforms(dc.get("AUG_TRANSFORM", []))
 

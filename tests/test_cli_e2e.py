@@ -75,12 +75,16 @@ def test_cli_train_then_test_multiscene(tmp_path):
                     tex=tex, box_half=bh, radius_scale=rs)
     data_yaml = os.path.join(root, "data.yaml")
     with open(data_yaml, "w") as f:
+        # exercises the reference-parity aug pipeline inside cli.train
+        # (reference configs/data/7scenes.yaml AUG_TRANSFORM)
         f.write(f"""name: cli_e2e_boxes
 base_dir: {root}
 scenes: [{", ".join(names)}]
-transforms:
-  - {{type: ResizeAndCrop, base_image_size: 64, base_keypoint_size: 16}}
-  - {{type: PadToSize, h: 64, w: 96}}
+AUG_TRANSFORM:
+  - RandomZoom: {{aug_scale_min: 0.8, aug_scale_max: 1.25}}
+  - RandomRotate: {{aug_rotation: 15}}
+  - ColorJitter: {{brightness: 0.1, contrast: 0.1, saturation: 0.1, hue: 0.1}}
+aug_ref_depth: true
 """)
     cfg_yaml = os.path.join(root, "cfg.yaml")
     _write_tiny_cfg(cfg_yaml, data_yaml, epochs=2)

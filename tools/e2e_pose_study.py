@@ -215,12 +215,19 @@ def main():
 
     data_yaml = os.path.join(args.root, "data.yaml")
     with open(data_yaml, "w") as f:
+        # Reference-parity train augmentation (reference
+        # configs/data/7scenes.yaml AUG_TRANSFORM): without it the coarse
+        # transformer MEMORIZES the train views (coarse_loss -> 2e-7) and
+        # test-view matching IoU collapses to ~0.03 in the multi-scene
+        # setting (round-4 study, BASELINE.md).
         f.write(f"""name: e2e_boxes
 base_dir: {args.root}
 scenes: [{", ".join(names)}]
-transforms:
-  - {{type: ResizeAndCrop, base_image_size: 64, base_keypoint_size: 16}}
-  - {{type: PadToSize, h: 64, w: 96}}
+AUG_TRANSFORM:
+  - RandomZoom: {{aug_scale_min: 0.666, aug_scale_max: 1.5}}
+  - RandomRotate: {{aug_rotation: 30}}
+  - ColorJitter: {{brightness: 0.1, contrast: 0.1, saturation: 0.1, hue: 0.1}}
+aug_ref_depth: true
 """)
     cfg_yaml = os.path.join(args.root, "cfg.yaml")
     write_cfg(cfg_yaml, data_yaml, args.epochs, full_features=True)
