@@ -616,7 +616,7 @@ class ConditionalNeRF(nn.Module):
         V = mv_feat.shape[1]
         rgb_in = mv_feat[:, :, :3]
         ray_diff = compute_angle(xyz_flat, pose, ctx.sv.poses).transpose(1, 0, 2)
-        if qd["view_sel"] is not None:
+        if qd.get("view_sel") is not None:
             ray_diff = jnp.take_along_axis(
                 ray_diff, qd["view_sel"][..., None], axis=1)
         if self.is_initializing():

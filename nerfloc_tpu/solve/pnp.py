@@ -332,6 +332,18 @@ def ransac_pnp(pts2d: Array, pts3d: Array, mask: Array, K: Array,
         hypothesis efficiency of pycolmap's P3P used by the reference) or
         'dlt6' (6-point DLT, `sample_size` controls the set size).
     """
+    # Pose-solver matmuls are tiny (3x3 blocks, [N,3] projections, 6x6
+    # normal equations) but numerically load-bearing: on TPU the MXU would
+    # run them with bf16 inputs, corrupting R by ~1e-2 per GN iteration —
+    # enough to break the near-π se3 log map downstream (see geometry/se3).
+    # Forcing f32 here costs nothing at these shapes.
+    with jax.default_matmul_precision("highest"):
+        return _ransac_pnp_impl(pts2d, pts3d, mask, K, rng, thresh_px,
+                                n_hyps, sample_size, refine_iters, minimal)
+
+
+def _ransac_pnp_impl(pts2d, pts3d, mask, K, rng, thresh_px, n_hyps,
+                     sample_size, refine_iters, minimal) -> PnPResult:
     N = pts2d.shape[0]
     dtype = pts3d.dtype
     f = (K[0, 0] + K[1, 1]) / 2.0
@@ -425,14 +437,15 @@ def count_pose_inliers(c2w: Array, pts2d: Array, pts3d: Array, mask: Array,
     candidate poses (e.g. stage-1 vs cascade, nerf_pose_estimator.py:330-349)
     be scored on identical data.
     """
-    R = c2w[:3, :3]
-    t = c2w[:3, 3]
-    w2c34 = jnp.concatenate([R.T, (-R.T @ t)[:, None]], axis=-1)
-    f = (K[0, 0] + K[1, 1]) / 2.0
-    x_norm = jnp.stack([
-        (pts2d[:, 0] - K[0, 2]) / K[0, 0],
-        (pts2d[:, 1] - K[1, 2]) / K[1, 1],
-    ], axis=-1)
-    err = _reproj_err2(w2c34, pts3d.astype(x_norm.dtype), x_norm)
-    thresh2 = (thresh_px / f) ** 2
-    return jnp.sum((err < thresh2) & mask).astype(jnp.int32)
+    with jax.default_matmul_precision("highest"):
+        R = c2w[:3, :3]
+        t = c2w[:3, 3]
+        w2c34 = jnp.concatenate([R.T, (-R.T @ t)[:, None]], axis=-1)
+        f = (K[0, 0] + K[1, 1]) / 2.0
+        x_norm = jnp.stack([
+            (pts2d[:, 0] - K[0, 2]) / K[0, 0],
+            (pts2d[:, 1] - K[1, 2]) / K[1, 1],
+        ], axis=-1)
+        err = _reproj_err2(w2c34, pts3d.astype(x_norm.dtype), x_norm)
+        thresh2 = (thresh_px / f) ** 2
+        return jnp.sum((err < thresh2) & mask).astype(jnp.int32)

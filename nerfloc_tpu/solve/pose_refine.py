@@ -60,13 +60,18 @@ def refine_pose(render_fn: Callable, pose_init: Array, K: Array,
             err = (out["feat"] - feat_target) * m
         else:
             err = (out["rgb"] - rgb_target) * m
-        return jnp.mean(err ** 2)
+        # normalize by the VALID ray count, not the total: with jnp.mean a
+        # pose whose rays all miss the scene scores loss = 0 and would be
+        # "accepted" as an improvement (measured failure mode on TPU)
+        n_valid = jnp.sum(m)
+        loss = jnp.sum(err ** 2) / jnp.maximum(n_valid, 1.0)
+        return loss, n_valid
 
     opt = optax.adam(lr, b1=0.9, b2=0.999)
 
     def step(carry, _):
         twist, opt_state = carry
-        loss, grad = jax.value_and_grad(loss_fn)(twist)
+        (loss, _), grad = jax.value_and_grad(loss_fn, has_aux=True)(twist)
         updates, opt_state = opt.update(grad, opt_state, twist)
         new_twist = optax.apply_updates(twist, updates)
         # NaN guard (reference :157-158): freeze on non-finite loss/grad
@@ -76,8 +81,12 @@ def refine_pose(render_fn: Callable, pose_init: Array, K: Array,
 
     (twist_f, _), losses = jax.lax.scan(step, (twist0, opt.init(twist0)),
                                         None, length=max_steps)
-    final_loss = loss_fn(twist_f)
-    improved = final_loss <= losses[0]
+    loss0, n0 = loss_fn(twist0)
+    final_loss, n_f = loss_fn(twist_f)
+    # accept only if the photometric error improved AND the refined pose
+    # still sees the scene (reference :174-176 rejects loss increase; the
+    # valid-count floor rejects the degenerate all-rays-miss "improvement")
+    improved = (final_loss <= loss0) & (n_f >= 0.5 * n0)
     pose_f = se3_exp_map(twist_f)
     return jnp.where(improved & jnp.all(jnp.isfinite(pose_f)), pose_f, pose_init)
 

@@ -113,7 +113,11 @@ def make_eval_step(model, cfg: Config, mesh: Mesh) -> Callable:
             n2_on_m = count_pose_inliers(pnp2.c2w, m["mkps2d_f"],
                                          m["mkps3d"], m["pair_mask"],
                                          b["K"], cfg.ransac_thresh)
-            use2 = pnp2.success & (n2_on_m >= num_inliers)
+            # 95% slack: a strict >= rejects cascade poses that lose a
+            # single borderline inlier while actually being better
+            # (measured: 8.0deg -> 0.4deg improvements rejected on ties)
+            use2 = pnp2.success & (n2_on_m.astype(jnp.float32)
+                                   >= 0.95 * num_inliers.astype(jnp.float32))
             pose = jnp.where(use2, pnp2.c2w, pose)
             num_inliers = jnp.where(use2, pnp2.num_inliers, num_inliers)
 

@@ -30,8 +30,9 @@ def compute_pose_error(T_est: Array, T_gt: Array) -> Tuple[Array, Array]:
     """(rotation error deg, translation L2). Reference utils/metrics.py:14-33."""
     R1 = T_est[..., :3, :3]
     R2 = T_gt[..., :3, :3]
-    rot_diff = R2 @ R1.swapaxes(-1, -2)
-    trace = rot_diff[..., 0, 0] + rot_diff[..., 1, 1] + rot_diff[..., 2, 2]
+    # trace(R2 R1^T) = sum(R2 * R1) elementwise — a 3x3 jnp.matmul would run
+    # bf16 on the TPU MXU and add ~0.5 deg of metric noise
+    trace = jnp.sum(R2 * R1, axis=(-2, -1))
     cos = jnp.clip((trace - 1.0) / 2.0, -1.0, 1.0)
     rot_err = jnp.degrees(jnp.arccos(cos))
     trans_err = jnp.linalg.norm(T_est[..., :3, 3] - T_gt[..., :3, 3], axis=-1)

@@ -118,6 +118,35 @@ def test_se3_exp_log_roundtrip():
     np.testing.assert_allclose(np.asarray(tw2), np.asarray(tw), atol=1e-3)
 
 
+def test_so3_log_near_pi():
+    """θ≈π regression: the sin-form log map amplifies R noise by ~1/sinθ
+    there (the e2e study's outward-looking orbit poses all sit at 178-180°
+    and the blow-up sent the pose refiner's twist to ~1e7 m). The diagonal
+    form must keep the roundtrip tight and |ω| <= π."""
+    rng = np.random.default_rng(11)
+    axes = rng.standard_normal((24, 3)).astype(np.float32)
+    axes /= np.linalg.norm(axes, axis=-1, keepdims=True)
+    # angles straddling π, incl. exactly π and within 3e-3 of it
+    angles = np.concatenate([
+        np.full(8, np.pi), np.pi - rng.uniform(1e-4, 3e-3, 8),
+        np.pi - rng.uniform(3e-3, 0.6, 8)]).astype(np.float32)
+    w = jnp.asarray(axes * angles[:, None])
+    R = so3_exp_map(w)
+    w_rt = so3_log_map(R)
+    # |ω| must never exceed π (past it V⁻¹ heads toward its 2π singularity)
+    assert float(jnp.max(jnp.linalg.norm(w_rt, axis=-1))) <= np.pi + 1e-4
+    R_rt = so3_exp_map(w_rt)
+    np.testing.assert_allclose(np.asarray(R_rt), np.asarray(R), atol=2e-3)
+    # se3: translation must survive the near-π roundtrip (the failure mode
+    # was rho exploding through the V⁻¹ cotangent)
+    t = rng.standard_normal((24, 3)).astype(np.float32) * 0.4
+    T = np.tile(np.eye(4, dtype=np.float32), (24, 1, 1))
+    T[:, :3, :3] = np.asarray(R)
+    T[:, :3, 3] = t
+    T_rt = se3_exp_map(se3_log_map(jnp.asarray(T)))
+    np.testing.assert_allclose(np.asarray(T_rt), T, atol=2e-3)
+
+
 def test_pose_error_zero_and_known():
     T = jnp.eye(4)
     rot, trans = compute_pose_error(T, T)
