@@ -62,6 +62,42 @@ def test_eval_with_cascade_and_refine():
     assert np.isfinite(np.asarray(out["pose_pred"])).all()
 
 
+def test_refine_rejects_mask_collapse():
+    """Regression for the round-4 TPU catastrophe: a refined pose whose rays
+    all MISS the scene used to score masked-mean loss = 0 and be accepted as
+    an 'improvement'. The count-normalized loss + valid-ray floor must
+    reject it and return pose_init."""
+    from nerfloc_tpu.solve.pose_refine import refine_pose
+
+    K = jnp.array([[50.0, 0, 16.0], [0, 50.0, 16.0], [0, 0, 1.0]],
+                  jnp.float32)
+    pose0 = jnp.eye(4, dtype=jnp.float32)
+    img = jnp.full((32, 32, 3), 0.5, jnp.float32)
+    uv = jnp.stack([jnp.arange(16, dtype=jnp.float32) % 32,
+                    jnp.arange(16, dtype=jnp.float32) // 1 % 32], axis=-1)
+
+    def render_fn(rays_o, rays_d, p):
+        # scene 'exists' only for cameras within 0.2 of the origin; a pose
+        # that drifts away loses every ray. The rendered rgb approaches the
+        # 0.5 target as the camera moves AWAY from the origin, so gradient
+        # descent actively drives the pose out of the scene — after which
+        # the masked-mean loss would have been exactly 0 and accepted.
+        d2 = jnp.sum(p[:3, 3] ** 2)
+        near = d2 < 0.04
+        mask = jnp.where(near, jnp.ones(rays_o.shape[0]),
+                         jnp.zeros(rays_o.shape[0]))
+        rgb = jnp.full((rays_o.shape[0], 3), 0.5) - 1.0 / (1.0 + d2)
+        return {"rgb": rgb, "mask": mask}
+
+    out = refine_pose(render_fn, pose0, K, img, uv, jax.random.PRNGKey(0),
+                      max_steps=4, lr=1.0)  # huge lr to force the drift
+    # whether or not the optimizer drifted, the returned pose must be
+    # finite and must NOT be a pose whose rays all miss
+    assert np.isfinite(np.asarray(out)).all()
+    near_final = float(jnp.linalg.norm(out[:3, 3])) < 0.2
+    assert near_final, "refine accepted a pose outside the rendered scene"
+
+
 def test_sample_refine_pixels_grid_mode():
     """'grid' mode = every dilation-th pixel (reference pose_optimizer.py:
     108-114), squeezed/wrapped to the static ray count."""
