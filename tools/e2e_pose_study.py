@@ -49,7 +49,7 @@ SCENE_VARIANTS = [
 
 
 def write_scene(root, scene="box", n_train=48, n_test=8, n_support=6,
-                tex=0, box_half=2.0, radius_scale=1.0):
+                tex=0, box_half=2.0, radius_scale=1.0, orbit_jitter=0.0):
     import cv2
 
     sd = os.path.join(root, scene)
@@ -65,9 +65,18 @@ def write_scene(root, scene="box", n_train=48, n_test=8, n_support=6,
         frames, angles = [], []
         for i in range(n):
             ang = angle0 + step * i
-            eye = np.array([r_eye * np.cos(ang),
-                            r_eye / 6.0 * np.sin(3 * ang),
-                            r_eye * np.sin(ang)])
+            # orbit_jitter > 0 modulates the orbit radius/height with
+            # incommensurate sinusoids (deterministic): a constant-radius
+            # orbit looking at walls ~2 m away is a near-planar PnP
+            # configuration whose rotation<->translation gauge amplifies
+            # ~1.5 px match noise into degrees (BASELINE.md round-4 solver
+            # validation); radius variation adds the depth parallax that
+            # breaks the gauge, as real handheld trajectories do.
+            rj = 1.0 + orbit_jitter * np.sin(2.39996 * ang + 0.7)
+            hj = 1.0 + 3.0 * orbit_jitter * np.cos(1.61803 * ang)
+            eye = np.array([r_eye * rj * np.cos(ang),
+                            r_eye / 6.0 * hj * np.sin(3 * ang),
+                            r_eye * rj * np.sin(ang)])
             tgt = np.array([r_tgt * np.cos(ang), 0.0, r_tgt * np.sin(ang)])
             c2w = look_at_pose(eye, tgt)
             rgb, depth = render_box_view(c2w, K, H0, W0, box_half=box_half,
@@ -199,6 +208,9 @@ def main():
     ap.add_argument("--batch", type=int, default=1)
     ap.add_argument("--skip_scene", action="store_true")
     ap.add_argument("--skip_train", action="store_true")
+    ap.add_argument("--orbit_jitter", type=float, default=0.0,
+                    help="modulate orbit radius/height (0.3 = +-30%%) to "
+                         "break the constant-radius PnP gauge degeneracy")
     ap.add_argument("--ablate", action="store_true",
                     help="also evaluate with cascade/refinement OFF")
     args = ap.parse_args()
@@ -211,7 +223,7 @@ def main():
                   flush=True)
             write_scene(args.root, scene=name, n_train=args.n_train,
                         n_test=args.n_test, tex=tex, box_half=bh,
-                        radius_scale=rs)
+                        radius_scale=rs, orbit_jitter=args.orbit_jitter)
 
     data_yaml = os.path.join(args.root, "data.yaml")
     with open(data_yaml, "w") as f:
