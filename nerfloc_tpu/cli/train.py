@@ -112,7 +112,15 @@ def main():
         loader = BatchLoader(train_ds, batch_size, shuffle=True,
                              seed=args.seed)
         render_psnr_fn = None  # built lazily, cached across epoch evals
-        for epoch in range(cfg.max_epochs):
+        # resume at the saved epoch, not 0 — otherwise an auto-resumed run
+        # trains max_epochs ON TOP of what the checkpoint already has
+        # (reference Lightning resume restores the epoch counter,
+        # pl/train.py:92-98)
+        steps_per_epoch = max(1, (len(train_ds) + batch_size - 1)
+                              // batch_size)
+        start_epoch = min(int(state.step) // steps_per_epoch,
+                          cfg.max_epochs)
+        for epoch in range(start_epoch, cfg.max_epochs):
             t0 = time.time()
             for it, host_batch in enumerate(loader.epoch(epoch)):
                 batch = shard_batch(host_batch, mesh)
