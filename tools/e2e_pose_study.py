@@ -154,13 +154,14 @@ def write_scene(root, scene="box", n_train=48, n_test=8, n_support=6,
     write_ply_points(os.path.join(sd, "pc.ply"), np.concatenate(pts))
 
 
-def write_cfg(path, data_yaml, epochs, full_features: bool):
+def write_cfg(path, data_yaml, epochs, full_features: bool,
+              fpn_dim=64, hidden=64, matcher=96):
     with open(path, "w") as f:
         f.write(f"""expname: e2e_pose
 dataset_type: {data_yaml}
-backbone2d_fpn_dim: 64
-model_3d_hidden_dim: 64
-matcher_hidden_dim: 96
+backbone2d_fpn_dim: {fpn_dim}
+model_3d_hidden_dim: {hidden}
+matcher_hidden_dim: {matcher}
 n_views_train: 4
 n_views_test: 6
 lrate: 5.0e-4
@@ -213,6 +214,12 @@ def main():
                          "break the constant-radius PnP gauge degeneracy")
     ap.add_argument("--ablate", action="store_true",
                     help="also evaluate with cascade/refinement OFF")
+    ap.add_argument("--fpn_dim", type=int, default=64)
+    ap.add_argument("--hidden", type=int, default=64)
+    ap.add_argument("--matcher", type=int, default=96,
+                    help="matcher width; the multi-scene coarse matcher is "
+                         "capacity-bound at 96 (round-4 study: eval IoU "
+                         "0.01 multi-scene vs 0.47 single-scene)")
     args = ap.parse_args()
 
     names = [f"box{i}" for i in range(args.scenes)]
@@ -242,7 +249,9 @@ AUG_TRANSFORM:
 aug_ref_depth: true
 """)
     cfg_yaml = os.path.join(args.root, "cfg.yaml")
-    write_cfg(cfg_yaml, data_yaml, args.epochs, full_features=True)
+    dims = dict(fpn_dim=args.fpn_dim, hidden=args.hidden,
+                matcher=args.matcher)
+    write_cfg(cfg_yaml, data_yaml, args.epochs, full_features=True, **dims)
 
     env = dict(os.environ)
     if not args.skip_train:
@@ -264,7 +273,8 @@ aug_ref_depth: true
 
     if args.ablate:
         cfg_off = os.path.join(args.root, "cfg_basic.yaml")
-        write_cfg(cfg_off, data_yaml, args.epochs, full_features=False)
+        write_cfg(cfg_off, data_yaml, args.epochs, full_features=False,
+                  **dims)
         res_off = run_test(cfg_off, ckpt,
                            os.path.join(args.runs, "e2e_test_basic.json"),
                            env)

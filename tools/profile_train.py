@@ -118,5 +118,79 @@ def main(steps: int = 30):
     print({k: round(v, 1) for k, v in results.items()})
 
 
+def _scalarize(tree) -> jnp.ndarray:
+    """Sum every floating leaf — keeps all outputs alive (defeats DCE)."""
+    tot = jnp.float32(0.0)
+    for x in jax.tree.leaves(tree):
+        if hasattr(x, "dtype") and jnp.issubdtype(x.dtype, jnp.floating):
+            tot = tot + jnp.sum(x.astype(jnp.float32))
+    return tot
+
+
+def fine(steps: int = 30):
+    """Decompose the shared-context block the variant ablations can't.
+
+    The branch ablations in main() leave ~55% of the full step
+    unattributed: work shared by the render and matching losses
+    (build_context fwd+bwd — backbone on V+1 images, DepthFusionNet,
+    neural-point confidence). These probes split it:
+
+      step_fwd   full loss_fn forward only        -> bwd = full - fwd
+      ctx_fwd    build_context forward
+      ctx_grad   build_context fwd + bwd
+      bb_fwd     backbone (extract_2d) on V+1 imgs
+      bb_grad    backbone fwd + bwd
+    """
+    H, W, V = 240, 320, 5
+    b = device_batch(make_query_batch(n_views=V, H=H, W=W, seed=0))
+    b = {k: jnp.asarray(v) for k, v in b.items()}
+    rng = jax.random.PRNGKey(0)
+    cfg = base_cfg()
+    model = NerfPoseEstimator(cfg, dtype=compute_dtype_of(cfg))
+    small = dict(b)
+    s = 128
+    small["image"] = b["image"][:s, :s]
+    small["depth"] = b["depth"][:s, :s]
+    small["topk_images"] = b["topk_images"][:, :s, :s]
+    small["topk_depths"] = b["topk_depths"][:, :s, :s]
+    params = jax.jit(model.init)(rng, small, rng)
+    imgs6 = jnp.concatenate([b["image"][None], b["topk_images"]], axis=0)
+
+    def step_fwd(p, r):
+        return _scalarize(model.apply(p, b, r, method=model.train_forward))
+
+    def ctx_fwd(p):
+        return _scalarize(model.apply(p, b, method=model.build_context))
+
+    def bb_fwd(p):
+        return _scalarize(model.apply(p, imgs6, method=model.extract_2d))
+
+    probes = {
+        "step_fwd": jax.jit(step_fwd),
+        "ctx_fwd": jax.jit(ctx_fwd),
+        "ctx_grad": jax.jit(lambda p: _scalarize(jax.grad(ctx_fwd)(p))),
+        "bb_fwd": jax.jit(bb_fwd),
+        "bb_grad": jax.jit(lambda p: _scalarize(jax.grad(bb_fwd)(p))),
+    }
+    for name, fn in probes.items():
+        args = (params, rng) if name == "step_fwd" else (params,)
+        t0 = time.perf_counter()
+        float(fn(*args))
+        compile_s = time.perf_counter() - t0
+        best = float("inf")
+        for rep in range(3):
+            t0 = time.perf_counter()
+            for i in range(steps):
+                out = fn(*args)
+                if (i + 1) % 10 == 0:
+                    float(out)
+            best = min(best, (time.perf_counter() - t0) / steps)
+        print(f"{name:<10} {best * 1000:7.1f} ms  compile {compile_s:.0f}s",
+              flush=True)
+
+
 if __name__ == "__main__":
-    main(int(sys.argv[1]) if len(sys.argv) > 1 else 30)
+    if len(sys.argv) > 1 and sys.argv[1] == "--fine":
+        fine(int(sys.argv[2]) if len(sys.argv) > 2 else 30)
+    else:
+        main(int(sys.argv[1]) if len(sys.argv) > 1 else 30)
