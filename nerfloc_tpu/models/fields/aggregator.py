@@ -16,7 +16,8 @@ import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
-from ...ops.interp import (bilinear_sample, packed_bilinear_sample_views,
+from ...ops.interp import (bilinear_sample, packed_bilinear_sample_selected,
+                           packed_bilinear_sample_views,
                            sample_render_table)
 from . import neuray
 from .projector import compute_projections, project_and_sample
@@ -215,8 +216,6 @@ class MultiviewFeatureAggregator(nn.Module):
         result exactly (top-k then spans all views; the fusion weights and
         blending softmax are permutation-invariant).
         """
-        from ...ops.interp import packed_bilinear_sample_selected
-
         V, H, W = sv.images.shape[:3]
         h, w = featmaps.shape[1], featmaps.shape[2]
         scale = jnp.array([(w - 1.0) / (W - 1.0), (h - 1.0) / (H - 1.0)],

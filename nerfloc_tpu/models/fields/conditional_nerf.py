@@ -27,6 +27,7 @@ from ...configs import Config
 from ...geometry.cameras import get_rays, scale_intrinsics, world_to_camera
 from ...geometry.embedder import Embedder
 from ...geometry.math import safe_normalize, safe_sqrt
+from ...ops.fused_agg import extract_agg_params, fused_neighbor_agg
 from ...ops.interp import (pack_bilinear_corners, pack_render_table,
                            packed_bilinear_sample_views,
                            quantize_pack_bilinear_corners, resize_nearest,
@@ -37,6 +38,7 @@ from ...ops.knn import (knn, knn_from_candidate_planes, knn_gather, knn_proj,
 from ..transformer import MultiHeadAttention
 from .aggregator import MultiviewFeatureAggregator, SupportViews
 from .context import NeuralPoints, SceneContext
+from .projector import project_and_sample
 from .neuray import DepthFusionNet, depth2inv_dists
 from .projector import compute_angle, compute_projections
 from .ray_unet import RayUnet
@@ -417,8 +419,6 @@ class ConditionalNeRF(nn.Module):
             # one VMEM-resident Pallas pass for offsets -> embedding ->
             # base_mlp -> Lq=1 attention (ops/fused_agg.py): the XLA graph
             # round-trips ~8 [N*K, W] intermediates through HBM here
-            from ...ops.fused_agg import extract_agg_params, fused_neighbor_agg
-
             aggp = extract_agg_params(self.variables["params"],
                                       len(self.xyz_embed.freqs),
                                       nb_feat.shape[-1])
@@ -728,8 +728,6 @@ class ConditionalNeRF(nn.Module):
 
     def query_rgb(self, ctx: SceneContext, xyz: Array) -> Array:
         """Mask-averaged support RGB at points (model.py:438-449)."""
-        from .projector import project_and_sample
-
         rgb, _, mask = project_and_sample(xyz, ctx.sv.Ks, ctx.sv.poses,
                                           ctx.sv.images, ctx.feat_fine_src)
         weight = mask / (jnp.sum(mask, axis=1, keepdims=True) + 1e-8)

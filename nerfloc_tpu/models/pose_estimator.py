@@ -26,9 +26,11 @@ from ..configs import Config
 from ..geometry.cameras import camera_project, rays_for_pixels, world_to_camera
 from ..geometry.embedder import Embedder, position_embedding_sine
 from ..ops.interp import bilinear_sample
+from ..solve.pnp import ransac_pnp
 from .appearance import AppearanceAdaptLayer, appearance_embedding
 from .backbone import Backbone2D
 from .fields.conditional_nerf import ConditionalNeRF
+from .fields.conditional_nerf_simple import ConditionalNeRFSimple
 from .fields.context import SceneContext
 from .fields.losses import img2mse, mse2psnr, rendering_loss
 from .matching import (
@@ -93,8 +95,6 @@ class NerfPoseEstimator(nn.Module):
         if cfg.simple_3d_model:
             # ablation: projection-average conditioning (reference
             # model_simple.py, selected by args.simple_3d_model)
-            from .fields.conditional_nerf_simple import ConditionalNeRFSimple
-
             self.model_3d = ConditionalNeRFSimple(cfg, dtype=self.dtype)
         else:
             self.model_3d = ConditionalNeRF(cfg, dtype=self.dtype)
@@ -409,8 +409,6 @@ class NerfPoseEstimator(nn.Module):
         PnP-RANSAC, all inside one jittable function (reference estimate +
         estimate_pose, nerf_pose_estimator.py:408-583, where PnP left the
         device for pycolmap)."""
-        from ..solve.pnp import ransac_pnp
-
         rng_kp, rng_pnp = jax.random.split(rng)
         ctx, q2d, desc_3d, pts3d, pts3d_ndc, m = self.localize_parts(batch, rng_kp)
         pnp = ransac_pnp(m["mkps2d_f"], m["mkps3d"], m["pair_mask"],

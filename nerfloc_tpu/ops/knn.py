@@ -31,6 +31,8 @@ from functools import partial
 import jax
 import jax.numpy as jnp
 
+from .interp import pack_window
+
 Array = jax.Array
 
 
@@ -340,8 +342,6 @@ def pack_xyz_window(xyz_maps: Array, mask_maps: Array, win: int = 3) -> Array:
     at-surface and 0.45 in the 6-30cm band at ~2.8x the table width
     (tools/knn_recall_study.py).
     """
-    from .interp import pack_window
-
     return pack_window(xyz_window_channels(xyz_maps, mask_maps),
                        _proj_window(win))
 

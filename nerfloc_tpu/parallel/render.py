@@ -14,9 +14,11 @@ from typing import Callable
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ..configs import Config
+from ..geometry.cameras import get_rays
 
 
 def make_ray_sharded_render(model, cfg: Config, mesh: Mesh) -> Callable:
@@ -85,10 +87,6 @@ def render_image_ray_sharded(model, cfg: Config, params, ctx, K, pose,
     size is cfg.render.chunk * ray-axis-width, so per-chip work matches the
     single-device path while wall-clock divides by the axis width.
     """
-    import numpy as np
-
-    from ..geometry.cameras import get_rays
-
     n_ray = mesh.shape["ray"]
     if render is None:
         render = make_ray_sharded_render(model, cfg, mesh)
@@ -99,8 +97,11 @@ def render_image_ray_sharded(model, cfg: Config, params, ctx, K, pose,
     chunk = cfg.render.chunk * n_ray
     pad = (-n) % chunk
     if pad:
-        flat_o = jnp.concatenate([flat_o, flat_o[:pad]], axis=0)
-        flat_d = jnp.concatenate([flat_d, flat_d[:pad]], axis=0)
+        # tile so the pad can exceed n (tiny image, big chunk) and every
+        # chunk keeps the static size — one XLA compile, even sharding
+        reps = -(-(n + pad) // n)
+        flat_o = jnp.tile(flat_o, (reps, 1))[:n + pad]
+        flat_d = jnp.tile(flat_d, (reps, 1))[:n + pad]
     outs = []
     for s in range(0, flat_o.shape[0], chunk):
         outs.append(render(params, ctx, flat_o[s:s + chunk],

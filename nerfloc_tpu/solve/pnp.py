@@ -166,10 +166,14 @@ def _quartic_roots(c: Array) -> Array:
 
 # Vandermonde inverse for quartic-coefficient extraction by evaluation at
 # nodes v in {-2,-1,0,1,2}: coeffs = _VAND_INV @ F(nodes).
-_P3P_NODES = jnp.array([-2.0, -1.0, 0.0, 1.0, 2.0])
-_VAND_INV = jnp.asarray(np.linalg.inv(
+# MUST be host (numpy) constants, never jnp: a module-level jnp.array created
+# while this module is first imported inside a jit trace becomes a tracer of
+# THAT trace and leaks into every later trace (UnexpectedTracerError — the
+# exact failure that invalidated BENCH_r04).
+_P3P_NODES = np.array([-2.0, -1.0, 0.0, 1.0, 2.0], dtype=np.float32)
+_VAND_INV = np.linalg.inv(
     np.vander(np.array([-2.0, -1.0, 0.0, 1.0, 2.0]), 5,
-              increasing=True)).astype(np.float32))
+              increasing=True)).astype(np.float32)
 
 
 def _kabsch_w2c(Pw: Array, Pc: Array) -> Array:

@@ -20,6 +20,7 @@ import jax
 import numpy as np
 
 from ..data import device_batch, stack_batches
+from ..models.fields.losses import img2mse, mse2psnr
 from ..parallel.mesh import shard_batch
 from ..parallel.multihost import allgather_metrics, process_shard_indices
 from ..utils.metrics import aggregate_per_scene
@@ -114,8 +115,6 @@ def make_render_psnr_fn(model):
         return model.apply(params, method=f)
 
     def psnr_of(params, item):
-        from ..models.fields.losses import img2mse, mse2psnr
-
         batch = {k: jnp.asarray(v) for k, v in device_batch(item).items()}
         out = render_one(params, batch)
         return float(mse2psnr(img2mse(out["rgb"], batch["image"],
@@ -129,7 +128,10 @@ def render_psnr_eval(psnr_of, params, test_ds, max_views: int = 2,
     """Mean render PSNR over up to `max_views` strided test views."""
     n = len(test_ds)
     if n == 0 or max_views <= 0:
-        return {"psnr_test": float("nan"), "n_rendered": 0}
+        # omit psnr_test entirely: a NaN here would flow into the train-log
+        # JSON line (json.dumps emits a bare NaN token — invalid strict
+        # JSON) and into the orbax recency-stream metrics
+        return {"n_rendered": 0}
     stride = max(interval, 1) if interval else max(n // max_views, 1)
     idxs = list(range(0, n, stride))[:max_views]
     psnrs = [psnr_of(params, test_ds[i]) for i in idxs]

@@ -18,6 +18,7 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ..configs import Config
 from ..solve.pnp import count_pose_inliers, ransac_pnp
+from ..solve.pose_refine import refine_pose, sample_refine_pixels
 from ..utils.metrics import compute_pose_error, matching_iou
 from .state import TrainState
 
@@ -124,8 +125,6 @@ def make_eval_step(model, cfg: Config, mesh: Mesh) -> Callable:
         if cfg.optimize_pose:
             # photometric refinement by differentiable rendering
             # (reference pose_optimizer.py:39-199: 50 Adam steps, lr 1e-3)
-            from ..solve.pose_refine import refine_pose, sample_refine_pixels
-
             H, W = b["image"].shape[0], b["image"].shape[1]
 
             def render_fn(rays_o, rays_d, p):
