@@ -116,8 +116,10 @@ def main():
         # trains max_epochs ON TOP of what the checkpoint already has
         # (reference Lightning resume restores the epoch counter,
         # pl/train.py:92-98)
-        steps_per_epoch = max(1, (len(train_ds) + batch_size - 1)
-                              // batch_size)
+        # len(loader) applies the loader's own drop_last rule (floor by
+        # default) — a ceiling here undercounts completed epochs whenever
+        # len(train_ds) % batch_size != 0 and re-trains them on resume
+        steps_per_epoch = max(1, len(loader))
         start_epoch = min(int(state.step) // steps_per_epoch,
                           cfg.max_epochs)
         for epoch in range(start_epoch, cfg.max_epochs):

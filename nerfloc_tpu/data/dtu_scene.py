@@ -38,7 +38,7 @@ def _read_cam_file(path: str):
         m = re.search(key + r"\s*\n((?:[-\d.eE+\s]+\n?)+)", txt)
         if m is None:
             raise ValueError(f"no '{key}' block in {path}")
-        nums[key] = np.fromstring(m.group(1), sep=" ")
+        nums[key] = np.array(m.group(1).split(), dtype=np.float64)
     w2c = nums["extrinsic"][:16].reshape(4, 4).astype(np.float32)
     K = nums["intrinsic"][:9].reshape(3, 3).astype(np.float32)
     # trailing line: depth_min depth_interval [n_depths depth_max]
