@@ -1,0 +1,143 @@
+"""Config-surface parity vs the reference experiment YAMLs.
+
+The reference ships per-scene finetune YAMLs for all four datasets
+(reference nerf_loc/configs/{7scenes,12scenes,cambridge,onepose}/*.yaml)
+plus dataset-level *_all.yaml and data declarations (configs/data/*.yaml).
+These tests pin three invariants:
+
+  1. every repo YAML under configs/ parses into a valid Config
+     (load_config raises KeyError on unknown keys — so this also fails on
+     typos in any YAML we ship);
+  2. the per-scene inventory is complete: each reference per-scene YAML
+     has a same-named repo YAML;
+  3. every key the reference uses in its experiment YAMLs maps to a
+     rebuild Config field (same name) or appears in the documented
+     de-scope table below.
+"""
+import dataclasses
+import glob
+import os
+
+import yaml
+
+from nerfloc_tpu.configs import Config, load_config
+from nerfloc_tpu.data.factory import load_data_yaml
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+REF = "/root/reference/nerf_loc/configs"
+
+# Reference keys intentionally not mirrored 1:1, with the rebuild's answer.
+DESCOPED_EXPERIMENT_KEYS = {
+    # dataset declarations live in nerfloc_tpu/configs/data/<type>.yaml,
+    # selected by dataset_type — the reference's DATASET sub-yaml include
+    # mechanism (configs/__init__.py:94-102) is replaced by that dispatch
+}
+
+DESCOPED_DATA_KEYS = {
+    # the reference's 15 fine-grained depth-noise knobs
+    # (configs/data/7scenes.yaml) are consolidated into DataOptions'
+    # aug_ref_depth / aug_depth_offset_prob / aug_global_noise_prob with
+    # the remaining magnitudes fixed at the reference defaults
+    # (data/video_dataset.py add_depth_noise, reference dataset.py:25-38)
+    "aug_depth_range_prob", "aug_depth_range_min", "aug_depth_range_max",
+    "aug_use_depth_offset", "aug_depth_offset_region_min",
+    "aug_depth_offset_region_max", "aug_depth_offset_min",
+    "aug_depth_offset_max", "aug_depth_offset_local",
+    "aug_use_depth_small_offset", "aug_use_global_noise",
+    "aug_depth_small_offset_prob",
+    # reference type slugs ('7scene') are folded into the dataset_type
+    # prefix (video_7scenes) that picks the data yaml itself
+    "type",
+}
+DATA_KEYS_RENAMED = {
+    # reference key -> repo data-yaml key (see data/factory.py:40-138)
+    "aug_depth_offset_prob": "aug_depth_offset_prob",
+    "aug_global_noise_prob": "aug_global_noise_prob",
+}
+
+
+def _config_field_names(cls=Config, prefix=""):
+    names = set()
+    for f in dataclasses.fields(cls):
+        names.add(prefix + f.name)
+        if dataclasses.is_dataclass(f.type) or (
+                isinstance(f.default_factory, type)
+                and dataclasses.is_dataclass(f.default_factory)):
+            names |= _config_field_names(f.default_factory,
+                                         prefix + f.name + ".")
+    return names
+
+
+def _flat_keys(d, prefix=""):
+    out = set()
+    for k, v in d.items():
+        out.add(prefix + str(k))
+        if isinstance(v, dict):
+            out |= _flat_keys(v, prefix + str(k) + ".")
+    return out
+
+
+def test_all_repo_yamls_load():
+    paths = sorted(glob.glob(os.path.join(REPO, "configs", "**", "*.yaml"),
+                             recursive=True))
+    assert len(paths) >= 27, paths  # 4 *_all + 7+12+5+6 per-scene
+    for p in paths:
+        cfg = load_config(p)  # KeyError on any unknown key
+        assert cfg.dataset_type.startswith("video_"), p
+        assert cfg.scenes, p
+
+
+def test_per_scene_inventory_complete():
+    for ds in ("7scenes", "12scenes", "cambridge", "onepose"):
+        ref_names = {os.path.basename(p)
+                     for p in glob.glob(os.path.join(REF, ds, "*.yaml"))}
+        repo_names = {os.path.basename(p) for p in
+                      glob.glob(os.path.join(REPO, "configs", ds, "*.yaml"))}
+        missing = ref_names - repo_names
+        assert not missing, f"{ds}: missing per-scene configs {missing}"
+        # and the dataset-level multi-scene config
+        assert os.path.exists(os.path.join(REPO, "configs",
+                                           f"{ds}_all.yaml"))
+
+
+def test_reference_experiment_keys_have_equivalents():
+    fields = _config_field_names()
+    paths = sorted(
+        glob.glob(os.path.join(REF, "*.yaml"))
+        + glob.glob(os.path.join(REF, "7scenes", "*.yaml"))
+        + glob.glob(os.path.join(REF, "12scenes", "*.yaml"))
+        + glob.glob(os.path.join(REF, "cambridge", "*.yaml"))
+        + glob.glob(os.path.join(REF, "onepose", "*.yaml")))
+    assert len(paths) >= 34, paths
+    unmapped = {}
+    for p in paths:
+        with open(p) as f:
+            data = yaml.safe_load(f) or {}
+        for k in _flat_keys(data):
+            if k in fields or k in DESCOPED_EXPERIMENT_KEYS:
+                continue
+            unmapped.setdefault(k, os.path.relpath(p, REF))
+    assert not unmapped, f"reference keys without a rebuild field: {unmapped}"
+
+
+def test_reference_data_keys_have_equivalents():
+    ref_to_repo = {"7scenes": "video_7scenes", "12scenes": "video_12scenes",
+                   "cambridge": "video_cambridge", "onepose": "video_onepose"}
+    # keys the repo's factory.build_dataset actually reads (factory.py:40-138)
+    factory_keys = {"base_dir", "scenes", "near", "far", "scale_factor",
+                    "rescale_far_limit", "tempo_interval", "aug_ref_depth",
+                    "aug_depth_offset_prob", "aug_global_noise_prob",
+                    "TRANSFORM", "AUG_TRANSFORM"}
+    for ref_name, repo_type in ref_to_repo.items():
+        with open(os.path.join(REF, "data", f"{ref_name}.yaml")) as f:
+            ref_data = (yaml.safe_load(f) or {}).get("DATASET", {})
+        repo_data = load_data_yaml(repo_type)
+        assert repo_data, repo_type
+        for k in ref_data:
+            assert (k in factory_keys or k in DESCOPED_DATA_KEYS
+                    or k in DATA_KEYS_RENAMED), \
+                f"data key {k!r} ({ref_name}) has no rebuild equivalent"
+        # transform pipeline classes must all exist in the rebuild
+        from nerfloc_tpu.data.transforms import build_transforms
+        for sect in ("TRANSFORM", "AUG_TRANSFORM"):
+            build_transforms(ref_data.get(sect, []) or [])
