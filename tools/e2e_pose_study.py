@@ -155,7 +155,11 @@ def write_scene(root, scene="box", n_train=48, n_test=8, n_support=6,
 
 
 def write_cfg(path, data_yaml, epochs, full_features: bool,
-              fpn_dim=64, hidden=64, matcher=96):
+              fpn_dim=64, hidden=64, matcher=96, n_importance=0):
+    # N_samples + N_importance stays 16: RayUnet norm shapes depend on the
+    # TOTAL sample count, so the guided row evaluates the dense-trained
+    # checkpoint with identical param shapes (conditional_nerf.py:105)
+    n_dense = 16 - n_importance
     with open(path, "w") as f:
         f.write(f"""expname: e2e_pose
 dataset_type: {data_yaml}
@@ -168,7 +172,7 @@ lrate: 5.0e-4
 max_epochs: {epochs}
 cascade_matching: {str(full_features).lower()}
 optimize_pose: {str(full_features).lower()}
-render: {{N_samples: 16, N_rand: 128}}
+render: {{N_samples: {n_dense}, N_importance: {n_importance}, N_rand: 128}}
 matching: {{coarse_num_3d_keypoints: 256, fine_num_3d_keypoints: 256,
             max_kp2d: 96, max_fine_pairs: 128,
             coarse_matching_depth_thresh: 0.5}}
@@ -214,6 +218,10 @@ def main():
                          "break the constant-radius PnP gauge degeneracy")
     ap.add_argument("--ablate", action="store_true",
                     help="also evaluate with cascade/refinement OFF")
+    ap.add_argument("--guided", action="store_true",
+                    help="also evaluate with NeuRay-guided 8+8 sampling "
+                         "(same checkpoint; the study-scale analogue of "
+                         "bench.py's guided-16+16 vs dense-64 claim)")
     ap.add_argument("--fpn_dim", type=int, default=64)
     ap.add_argument("--hidden", type=int, default=64)
     ap.add_argument("--matcher", type=int, default=96,
@@ -281,6 +289,20 @@ aug_ref_depth: true
         print("\nPer-scene (cascade/refinement OFF, same checkpoint):")
         print(table(res_off))
         a = res_off["avg"]
+        print(f"  avg: rot {a['median_rot_err_deg']:.2f} deg / "
+              f"trans {a['median_trans_err_m'] * 100:.1f} cm / "
+              f"pose_acc {a['pose_acc']:.2f}")
+
+    if args.guided:
+        cfg_g = os.path.join(args.root, "cfg_guided.yaml")
+        write_cfg(cfg_g, data_yaml, args.epochs, full_features=True,
+                  n_importance=8, **dims)
+        res_g = run_test(cfg_g, ckpt,
+                         os.path.join(args.runs, "e2e_test_guided.json"),
+                         env)
+        print("\nPer-scene (guided 8+8 sampling, same checkpoint):")
+        print(table(res_g))
+        a = res_g["avg"]
         print(f"  avg: rot {a['median_rot_err_deg']:.2f} deg / "
               f"trans {a['median_trans_err_m'] * 100:.1f} cm / "
               f"pose_acc {a['pose_acc']:.2f}")
