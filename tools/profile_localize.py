@@ -39,6 +39,7 @@ sys.path.insert(0, "/root/repo")
 from nerfloc_tpu.configs import (Config, MatchingConfig, RenderConfig,
                                  compute_dtype_of)
 from nerfloc_tpu.data import device_batch, make_query_batch
+from nerfloc_tpu.models.backbone import Backbone2D
 from nerfloc_tpu.models.pose_estimator import NerfPoseEstimator
 from nerfloc_tpu.solve.pnp import ransac_pnp
 
@@ -113,8 +114,18 @@ def main(iters: int = 10):
             return m._keypoints(ctx, batch, rng)
         return model.apply(params, method=f)
 
+    # strides are static python ints inside the model; crossing the jit
+    # boundary as dict values would turn them into tracers and break the
+    # static reshape in match — re-pin them from the config-known backbone
+    # strides via closure instead
+    strides = Backbone2D().layer_to_stride
+    sc = strides[cfg.backbone2d_coarse_layer_name]
+    sf = strides[cfg.backbone2d_fine_layer_name]
+
     @jax.jit
     def match(params, ctx, q2d, batch, desc_3d, pts3d, pts3d_ndc):
+        q2d = dict(q2d, stride_coarse=sc, stride_fine=sf)
+
         def f(m):
             return m.match(ctx, q2d, batch, desc_3d, pts3d, pts3d_ndc, False)
         return model.apply(params, method=f)
