@@ -239,6 +239,19 @@ class Config:
     mesh_data_axis: int = 1           # data-parallel width (queries per step)
     mesh_ray_axis: int = 1            # ray-parallel width for rendering
 
+    def __post_init__(self):
+        # the 3D positional embedding is 6 channels per frequency band
+        # (sin+cos x 3 axes) built from hidden_dim//6 bands, so a width
+        # not divisible by 6 silently produces a narrower embedding that
+        # later fails in the coarse transformer with an opaque broadcast
+        # error (reference inherits the same constraint:
+        # nerf_pose_estimator.py:68 get_embedder(hidden_dim//6))
+        if self.matcher_hidden_dim % 6 != 0:
+            raise ValueError(
+                f"matcher_hidden_dim={self.matcher_hidden_dim} must be "
+                "divisible by 6 (3D positional embedding packs "
+                "sin+cos x 3 axes per band)")
+
 
 def _merge(obj: Any, overrides: Dict[str, Any]) -> Any:
     """Recursively apply a nested dict onto a (frozen) dataclass tree."""

@@ -141,3 +141,15 @@ def test_reference_data_keys_have_equivalents():
         from nerfloc_tpu.data.transforms import build_transforms
         for sect in ("TRANSFORM", "AUG_TRANSFORM"):
             build_transforms(ref_data.get(sect, []) or [])
+
+
+def test_matcher_width_divisibility_fails_fast():
+    """A matcher width not divisible by 6 must raise at Config build, not
+    as an opaque broadcast error deep in the coarse transformer (the 3D
+    positional embedding is 6 channels per band; the reference inherits
+    the same constraint at nerf_pose_estimator.py:68)."""
+    import pytest
+
+    with pytest.raises(ValueError, match="divisible by 6"):
+        Config(matcher_hidden_dim=128)
+    Config(matcher_hidden_dim=144)  # ok

@@ -225,7 +225,9 @@ def main():
     ap.add_argument("--fpn_dim", type=int, default=64)
     ap.add_argument("--hidden", type=int, default=64)
     ap.add_argument("--matcher", type=int, default=96,
-                    help="matcher width; the multi-scene coarse matcher is "
+                    help="matcher width (must be divisible by 6 — 3D "
+                         "positional embedding); the multi-scene coarse "
+                         "matcher is "
                          "capacity-bound at 96 (round-4 study: eval IoU "
                          "0.01 multi-scene vs 0.47 single-scene)")
     args = ap.parse_args()
