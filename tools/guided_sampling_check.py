@@ -19,7 +19,7 @@ Usage:
   PYTHONPATH=/root/repo JAX_PLATFORMS=cpu \
   XLA_FLAGS=--xla_force_host_platform_device_count=8 \
   python tools/guided_sampling_check.py [steps]
-Recorded results: BASELINE.md "guided sampling".
+Recorded results: BASELINE.md "Guided / reduced sampling".
 """
 import sys
 

@@ -10,7 +10,7 @@ Reports steps/s and the loss curve. Timing uses the chained-accumulator
 fence (see bench.py NOTE: remote-TPU block_until_ready does not wait).
 
 Usage: python tools/train_throughput.py [steps]
-Recorded results: BASELINE.md "training throughput".
+Recorded results: BASELINE.md "Training throughput at production scale" and "Train-step budget".
 """
 import sys
 import time
