@@ -126,6 +126,19 @@ class NerfPoseEstimator(nn.Module):
             "stride_fine": self.backbone2d.layer_to_stride[cfg.backbone2d_fine_layer_name],
         }
 
+    @staticmethod
+    def _slice_2d(a2d: Dict[str, Array], lo: int, hi) -> Dict[str, Array]:
+        """Slice a batched extract_2d result along the image axis (strides
+        stay python ints)."""
+        return {
+            "feat_pyramid": {k: v[lo:hi]
+                             for k, v in a2d["feat_pyramid"].items()},
+            "feat_coarse": a2d["feat_coarse"][lo:hi],
+            "feat_fine": a2d["feat_fine"][lo:hi],
+            "stride_coarse": a2d["stride_coarse"],
+            "stride_fine": a2d["stride_fine"],
+        }
+
     # ------------------------------------------------------------------
     # scene context (support set -> neural points)
     # ------------------------------------------------------------------
@@ -134,8 +147,20 @@ class NerfPoseEstimator(nn.Module):
         """Backbone on query+support, appearance adaptation (reference
         :218-237), then conditional-NeRF scene context."""
         cfg = self.cfg
-        q2d = self.extract_2d(batch["image"][None])
-        s2d = self.extract_2d(batch["topk_images"])
+        if batch["image"].shape == batch["topk_images"].shape[1:]:
+            # one batched backbone pass over [1+V] images instead of two
+            # sequential [1]- and [V]-image chains: per-image conv results
+            # are independent (frozen BN uses running stats), so this is
+            # numerically identical, but the backbone at 240x320-class
+            # shapes is latency-bound (BASELINE.md "Localization-query
+            # budget") and one chain costs nearly half of two
+            a2d = self.extract_2d(jnp.concatenate(
+                [batch["image"][None], batch["topk_images"]], axis=0))
+            q2d = self._slice_2d(a2d, 0, 1)
+            s2d = self._slice_2d(a2d, 1, None)
+        else:
+            q2d = self.extract_2d(batch["image"][None])
+            s2d = self.extract_2d(batch["topk_images"])
 
         feat_coarse_src = s2d["feat_coarse"]
         feat_fine_src = s2d["feat_fine"]

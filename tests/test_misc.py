@@ -155,3 +155,53 @@ def test_run_scene_retrieval_netvlad_end_to_end(tmp_path):
     for q, lst in table.items():
         assert 1 <= len(lst) <= 2
         assert q not in lst
+
+
+def test_batched_backbone_pass_matches_separate_calls():
+    """build_context's single [1+V]-image backbone pass must be numerically
+    equivalent to the two separate extract_2d calls it replaced (per-image
+    convs are batch-independent; frozen BN uses running stats). XLA may
+    pick a different conv algorithm per batch size, so equality is to
+    float reassociation tolerance, not bitwise."""
+    import dataclasses
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from nerfloc_tpu.configs import Config, MatchingConfig, RenderConfig
+    from nerfloc_tpu.data import device_batch, make_query_batch
+    from nerfloc_tpu.models.pose_estimator import NerfPoseEstimator
+
+    cfg = Config(
+        backbone2d_fpn_dim=16, model_3d_hidden_dim=16, matcher_hidden_dim=24,
+        n_views_train=2,
+        render=RenderConfig(N_samples=4, N_rand=8),
+        matching=MatchingConfig(fine_num_3d_keypoints=16,
+                                coarse_num_3d_keypoints=16),
+        shapes=dataclasses.replace(Config().shapes, pnp_hypotheses=32),
+    )
+    model = NerfPoseEstimator(cfg)
+    batch = {k: jnp.asarray(v) for k, v in
+             device_batch(make_query_batch(n_views=2, H=32, W=32,
+                                           seed=3)).items()}
+    rng = jax.random.PRNGKey(0)
+    params = jax.jit(model.init)(rng, batch, rng)
+
+    def merged(m):
+        a2d = m.extract_2d(jnp.concatenate(
+            [batch["image"][None], batch["topk_images"]], axis=0))
+        return m._slice_2d(a2d, 0, 1), m._slice_2d(a2d, 1, None)
+
+    def separate(m):
+        return (m.extract_2d(batch["image"][None]),
+                m.extract_2d(batch["topk_images"]))
+
+    qm, sm = model.apply(params, method=merged)
+    qs, ss = model.apply(params, method=separate)
+    for got, want in ((qm, qs), (sm, ss)):
+        assert got["stride_coarse"] == want["stride_coarse"]
+        for k in ("feat_coarse", "feat_fine"):
+            np.testing.assert_allclose(np.asarray(got[k]),
+                                       np.asarray(want[k]),
+                                       rtol=1e-4, atol=1e-5)

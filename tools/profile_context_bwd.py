@@ -116,16 +116,16 @@ def main(iters: int = 10, tiny: bool = False):
     sf = strides[cfg.backbone2d_fine_layer_name]
 
     def ctx_replica(m, batch, stop_backbone=False):
-        # mirrors NerfPoseEstimator.build_context (pose_estimator.py:133)
-        q2d = m.extract_2d(batch["image"][None])
-        s2d = m.extract_2d(batch["topk_images"])
+        # mirrors NerfPoseEstimator.build_context (pose_estimator.py:133):
+        # one batched [1+V]-image backbone pass, then split
+        a2d = m.extract_2d(jnp.concatenate(
+            [batch["image"][None], batch["topk_images"]], axis=0))
         if stop_backbone:
-            q2d = jax.tree.map(
+            a2d = jax.tree.map(
                 lambda x: jax.lax.stop_gradient(x)
-                if hasattr(x, "dtype") else x, q2d)
-            s2d = jax.tree.map(
-                lambda x: jax.lax.stop_gradient(x)
-                if hasattr(x, "dtype") else x, s2d)
+                if hasattr(x, "dtype") else x, a2d)
+        q2d = m._slice_2d(a2d, 0, 1)
+        s2d = m._slice_2d(a2d, 1, None)
         feat_coarse_src = s2d["feat_coarse"]
         feat_fine_src = s2d["feat_fine"]
         topk_images = batch["topk_images"]
@@ -176,8 +176,8 @@ def main(iters: int = 10, tiny: bool = False):
         "ctx_bwd_nobb": make_probe(
             lambda m, b: ctx_replica(m, b, stop_backbone=True)),
         "bb_bwd": make_probe(
-            lambda m, b: (m.extract_2d(b["image"][None]),
-                          m.extract_2d(b["topk_images"]))),
+            lambda m, b: m.extract_2d(jnp.concatenate(
+                [b["image"][None], b["topk_images"]], axis=0))),
         "dfn_bwd": make_probe(
             lambda m, b: m.model_3d.depth_fusion(
                 b["topk_images"], b["topk_depths"], b["topk_Ks"],

@@ -100,8 +100,9 @@ def main(iters: int = 10):
     @jax.jit
     def backbone(params, batch):
         def f(m):
-            return (m.extract_2d(batch["image"][None]),
-                    m.extract_2d(batch["topk_images"]))
+            # one batched [1+V] pass, mirroring build_context
+            return m.extract_2d(jnp.concatenate(
+                [batch["image"][None], batch["topk_images"]], axis=0))
         return model.apply(params, method=f)
 
     @jax.jit
