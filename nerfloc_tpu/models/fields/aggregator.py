@@ -16,7 +16,8 @@ import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
-from ...ops.interp import (bilinear_sample, packed_bilinear_sample_selected,
+from ...ops.interp import (bilinear_sample, bilinear_sample_mm_grad,
+                           packed_bilinear_sample_selected,
                            packed_bilinear_sample_views,
                            sample_render_table)
 from . import neuray
@@ -157,12 +158,21 @@ class MultiviewFeatureAggregator(nn.Module):
                 fused = packed_bilinear_sample_views(fused_packed, h, w,
                                                      proj.uv * scale)
             else:
+                # scene-context build path (no packed tables yet). The
+                # sample locations carry no parameter gradient here (xyz is
+                # backprojected sensor depth; poses/Ks are data), so the
+                # wide fused sampling uses the MXU-transpose VJP: the plain
+                # gather's backward is a colliding scatter-add that costs
+                # ~409 ms/step at production shapes (BASELINE.md
+                # "Train-step budget" bisection). rgb stays on the plain
+                # path — at C=3 the dense one-hot contraction wastes the
+                # 128-lane MXU and the row scatter is the cheaper transpose.
                 rgb = jax.vmap(lambda img, uv: bilinear_sample(img, uv))(
                     sv.images, proj.uv)
                 fused_maps = jnp.concatenate([featmaps, sv.vis_featmaps],
                                              axis=-1)
-                fused = jax.vmap(lambda fm, uv: bilinear_sample(fm, uv))(
-                    fused_maps, proj.uv * scale)
+                fused = jax.vmap(bilinear_sample_mm_grad)(
+                    fused_maps, jax.lax.stop_gradient(proj.uv * scale))
             feat, ray_feats = fused[..., :C], fused[..., C:]
 
             u, v = proj.uv[..., 0], proj.uv[..., 1]

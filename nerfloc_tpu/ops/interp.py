@@ -11,6 +11,7 @@ move contiguous lanes).
 """
 from __future__ import annotations
 
+from functools import partial
 from typing import Any
 
 import jax
@@ -138,6 +139,97 @@ def bilinear_sample(feat: Array, uv: Array, *, padding_mode: str = "border") -> 
                + g[:, 2 * C:3 * C] * (1 - du) * dv
                + g[:, 3 * C:4 * C] * du * dv)
     return out.reshape(shape + (C,))
+
+
+def bilinear_sample_mm_grad(feat: Array, uv: Array,
+                            chunk: int = 8192) -> Array:
+    """Border-mode bilinear_sample whose FEATURE-MAP gradient runs on the
+    MXU instead of TPU scatter-adds.
+
+    The standard transpose of a gather is a scatter-add; with ~V*24k
+    sample points hitting a [h, w, C] map, those colliding row scatters
+    serialize on TPU and cost ~409 ms of the production train step
+    (BASELINE.md "Train-step budget", bisection: `agg_featgrad`). The
+    custom backward here instead builds, per chunk of B points, a dense
+    [B, h*w] matrix holding each point's four bilinear corner weights
+    (a comparison against iota — no scatter anywhere) and contracts it
+    with the output cotangent on the MXU with f32 accumulation:
+    grad_feat += onehot_w^T @ gy. Chunking bounds the dense matrix at
+    ~B*h*w*2 bytes.
+
+    CONTRACT: `uv` receives a ZERO cotangent. Only use where the sample
+    locations carry no parameter gradient (the scene-context build:
+    xyz is backprojected from sensor depth, poses/Ks are data —
+    aggregator.py context path). The forward is numerically identical to
+    bilinear_sample(..., padding_mode='border').
+    """
+    return _bilinear_mm(feat, uv, chunk)
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(2,))
+def _bilinear_mm(feat, uv, chunk):
+    return bilinear_sample(feat, uv, padding_mode="border")
+
+
+def _bilinear_mm_fwd(feat, uv, chunk):
+    # feat is saved only for its static shape/dtype (it is alive as the
+    # primal input anyway); the backward never reads its values
+    return bilinear_sample(feat, uv, padding_mode="border"), (uv, feat)
+
+
+def _bilinear_mm_bwd(chunk, res, gy):
+    uv, feat = res
+    H, W, C = feat.shape
+    fdt = feat.dtype
+    shape = gy.shape[:-1]
+    gy = gy.reshape(-1, C)
+    uv = uv.reshape(-1, 2)
+    N = uv.shape[0]
+
+    # corner indices/weights exactly as the forward computes them
+    u = jnp.clip(uv[..., 0], 0.0, W - 1)
+    v = jnp.clip(uv[..., 1], 0.0, H - 1)
+    u0 = jnp.clip(jnp.floor(u), 0, W - 2).astype(jnp.int32)
+    v0 = jnp.clip(jnp.floor(v), 0, H - 2).astype(jnp.int32)
+    du = (u - u0).astype(gy.dtype)
+    dv = (v - v0).astype(gy.dtype)
+    base = v0 * W + u0
+    idx4 = jnp.stack([base, base + 1, base + W, base + W + 1], -1)  # [N,4]
+    w4 = jnp.stack([(1 - du) * (1 - dv), du * (1 - dv),
+                    (1 - du) * dv, du * dv], -1)                    # [N,4]
+
+    chunk = min(chunk, -(-N // 128) * 128)  # don't pad tiny N to 8192
+    pad = (-N) % chunk
+    if pad:
+        idx4 = jnp.concatenate([idx4, jnp.zeros((pad, 4), idx4.dtype)])
+        w4 = jnp.concatenate([w4, jnp.zeros((pad, 4), w4.dtype)])
+        gy = jnp.concatenate([gy, jnp.zeros((pad, C), gy.dtype)])
+    nch = idx4.shape[0] // chunk
+    idx4 = idx4.reshape(nch, chunk, 4)
+    w4 = w4.reshape(nch, chunk, 4)
+    gyc = gy.reshape(nch, chunk, C)
+
+    cells = jnp.arange(H * W, dtype=jnp.int32)
+
+    def body(acc, xs):
+        idx, w, g = xs
+        # [B, HW] = sum over the 4 corners of weight * indicator
+        oh = jnp.zeros((chunk, H * W), dtype=g.dtype)
+        for k in range(4):
+            oh = oh + jnp.where(idx[:, k:k + 1] == cells[None, :],
+                                w[:, k:k + 1], 0).astype(g.dtype)
+        acc = acc + jax.lax.dot_general(
+            oh, g, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)         # [HW, C]
+        return acc, None
+
+    acc0 = jnp.zeros((H * W, C), jnp.float32)
+    gfeat, _ = jax.lax.scan(body, acc0, (idx4, w4, gyc))
+    return gfeat.reshape(H, W, C).astype(fdt), \
+        jnp.zeros(shape + (2,), uv.dtype)
+
+
+_bilinear_mm.defvjp(_bilinear_mm_fwd, _bilinear_mm_bwd)
 
 
 def pack_bilinear_corners(feats: Array) -> Array:

@@ -232,3 +232,45 @@ def test_packed_bilinear_bf16_table_f32_weights():
     want = (-2.0 * deltas)[None, :, None]
     err = np.max(np.abs(got - want))
     assert err < 2 ** -12, f"sub-pixel weight quantization err {err:.2e}"
+
+
+def test_bilinear_mm_grad_matches_plain():
+    """bilinear_sample_mm_grad: identical forward, MXU-matmul feature
+    gradient identical to the scatter transpose of the plain sampler,
+    zero uv cotangent by contract (ops/interp.py)."""
+    from nerfloc_tpu.ops.interp import bilinear_sample_mm_grad
+
+    rng = np.random.RandomState(0)
+    H, W, C = 13, 17, 40
+    feat = jnp.asarray(rng.randn(H, W, C), jnp.float32)
+    uv = jnp.asarray(np.concatenate([
+        rng.rand(300, 2) * [W - 1, H - 1],
+        np.array([[0, 0], [W - 1, H - 1], [-3.2, 4.0],
+                  [W + 5.0, H + 2.0], [0.5, -0.5]]),
+    ]), jnp.float32)
+    y0 = bilinear_sample(feat, uv, padding_mode="border")
+    y1 = bilinear_sample_mm_grad(feat, uv)
+    np.testing.assert_allclose(np.asarray(y0), np.asarray(y1),
+                               rtol=1e-6, atol=1e-6)
+    w = jnp.asarray(rng.randn(uv.shape[0], C), jnp.float32)
+    g0 = jax.grad(lambda f: jnp.sum(
+        bilinear_sample(f, uv, padding_mode="border") * w))(feat)
+    g1 = jax.grad(lambda f: jnp.sum(
+        bilinear_sample_mm_grad(f, uv) * w))(feat)
+    np.testing.assert_allclose(np.asarray(g0), np.asarray(g1),
+                               rtol=1e-4, atol=1e-4)
+    gu = jax.grad(lambda u: jnp.sum(
+        bilinear_sample_mm_grad(feat, u) * w))(uv)
+    assert float(jnp.max(jnp.abs(gu))) == 0.0
+
+    # vmapped over views (the aggregator's usage shape)
+    fv = jnp.asarray(rng.randn(3, H, W, C), jnp.float32)
+    uvv = jnp.asarray(rng.rand(3, 77, 2) * [W - 1, H - 1], jnp.float32)
+    wv = jnp.asarray(rng.randn(3, 77, C), jnp.float32)
+    gv0 = jax.grad(lambda f: jnp.sum(jax.vmap(
+        lambda a, b: bilinear_sample(a, b, padding_mode="border"))(
+            f, uvv) * wv))(fv)
+    gv1 = jax.grad(lambda f: jnp.sum(jax.vmap(
+        bilinear_sample_mm_grad)(f, uvv) * wv))(fv)
+    np.testing.assert_allclose(np.asarray(gv0), np.asarray(gv1),
+                               rtol=1e-4, atol=1e-4)

@@ -164,6 +164,22 @@ def main(iters: int = 10, tiny: bool = False):
                     params, method=lambda m: target_fn(m, batch)))
         return probe
 
+    def agg_probe(m, batch, grad_featmaps=True):
+        """Isolate the multiview-aggregator's featmap-gradient path: sv and
+        xyz are stop_gradient'ed; only the (adapted) featmaps carry
+        gradient when grad_featmaps — the delta between the two settings
+        is exactly the bilinear-sampling transpose (scatter-adds into
+        [V,h,w,C]), since aggregator PARAM grads flow in both."""
+        ctx, _ = ctx_replica(m, batch)
+        sg = jax.lax.stop_gradient
+        sv = jax.tree.map(lambda x: sg(x) if hasattr(x, "dtype") else x,
+                          ctx.sv)
+        xyz = sg(ctx.fine.xyz)
+        feat = ctx.feat_fine_src if grad_featmaps \
+            else sg(ctx.feat_fine_src)
+        mv_feat, w, vis, dd = m.model_3d.multiview_aggregator(sv, feat, xyz)
+        return mv_feat
+
     def only_tables(ctx):
         return [t for t in (ctx.fused_fine_packed, ctx.rgb_packed,
                             ctx.render_table, ctx.xyz_window_packed,
@@ -187,6 +203,10 @@ def main(iters: int = 10, tiny: bool = False):
                 ctx_replica(m, b))),
         "tables_live": make_probe(
             lambda m, b: only_tables(ctx_replica(m, b)[0])),
+        "agg_featgrad": make_probe(
+            lambda m, b: agg_probe(m, b, grad_featmaps=True)),
+        "agg_nofeatgrad": make_probe(
+            lambda m, b: agg_probe(m, b, grad_featmaps=False)),
     }
 
     report = {}
@@ -208,6 +228,10 @@ def main(iters: int = 10, tiny: bool = False):
           f"{d['match_live']:7.1f} ms")
     print(f"  tables-liveness fwd+bwd                    : "
           f"{d['tables_live']:7.1f} ms")
+    print(f"  aggregator featmap-grad (sampling transpose scatter): "
+          f"{d['agg_featgrad'] - d['agg_nofeatgrad']:7.1f} ms "
+          f"(featgrad {d['agg_featgrad']:.1f} vs nofeatgrad "
+          f"{d['agg_nofeatgrad']:.1f})")
     print("\n" + json.dumps(report))
 
 
