@@ -73,7 +73,7 @@ def time_ms(fn, args, iters):
     return (time.perf_counter() - t0) / iters * 1000.0
 
 
-def main(iters: int = 10):
+def main(iters: int = 10, fullvar: bool = False):
     cfg = Config(
         backbone2d_fpn_dim=192,
         model_3d_hidden_dim=128,
@@ -143,6 +143,39 @@ def main(iters: int = 10):
         out = model.apply(params, batch, rng, method=model.localize_forward)
         return out["pose"]
 
+    if fullvar:
+        # Config-delta attribution on the FUSED query: the per-stage jits
+        # above carry ~10-25 ms of per-dispatch axon-tunnel overhead each
+        # (session-varying), so deltas of `full` under one changed knob
+        # are the only attribution immune to it. Params are shared: none
+        # of these knobs change the parameter tree.
+        import dataclasses as _dc
+        variants = {
+            "base(kp1024,hyp512)": cfg,
+            "hyp64": _dc.replace(
+                cfg, shapes=_dc.replace(cfg.shapes, pnp_hypotheses=64)),
+            "kp256": _dc.replace(
+                cfg, matching=_dc.replace(
+                    cfg.matching, fine_num_3d_keypoints=256,
+                    coarse_num_3d_keypoints=256)),
+        }
+        print(f"\n=== full-localize config deltas (V=5, {iters} iters) ===")
+        rep = {}
+        for name, vcfg in variants.items():
+            vmodel = NerfPoseEstimator(vcfg, dtype=compute_dtype_of(vcfg))
+
+            @jax.jit
+            def vfull(params, batch, rng, _m=vmodel):
+                out = _m.apply(params, batch, rng,
+                               method=_m.localize_forward)
+                return out["pose"]
+
+            t = time_ms(vfull, (params, batch5, rng), iters)
+            rep[name] = round(t, 1)
+            print(f"  {name:<22} {t:7.1f} ms", flush=True)
+        print(json.dumps(rep))
+        return
+
     report = {}
     for V, seed in ((5, 0), (10, 1)):
         batch = batch5 if V == 5 else {
@@ -175,4 +208,5 @@ def main(iters: int = 10):
 
 
 if __name__ == "__main__":
-    main(int(sys.argv[1]) if len(sys.argv) > 1 else 10)
+    argv = [a for a in sys.argv[1:] if a != "--fullvar"]
+    main(int(argv[0]) if argv else 10, fullvar="--fullvar" in sys.argv)
